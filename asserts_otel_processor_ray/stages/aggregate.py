@@ -1,0 +1,267 @@
+"""Stage 6 — metric aggregation tables (A1-A5).
+
+The reference exposes Prometheus counter/histogram families
+(assertsprocessor/metrics.go:24-184); the batch engine emits the same
+information as Parquet/Arrow aggregate tables:
+
+* A1 ``trace_count_total`` (env, site)              — metrics.go:148-154
+* A2 ``trace_sampled_count_total`` (+ sample_type)  — metrics.go:156-163
+* A3 ``span_count_total`` (namespace, service)      — metrics.go:165-184
+* A4 ``otel_span_latency_seconds`` histogram over labels env, site,
+  namespace, service, span_kind, status_code + sanitized configured
+  attributes (metric_helper.go:143-183; buckets factory.go:38)
+* A5 cardinality cap: histogram series only for the first
+  ``LimitPerService`` distinct request contexts per service key
+  (metric_helper.go:91-141)
+
+Every aggregation is partial-then-final: a per-batch Arrow group_by
+inside ``map_batches`` (map-side combine) followed by a small Ray
+groupby-sum over the partials — the full turn table is never shuffled
+for metrics.  This is also the skew story: hot label combinations are
+pre-reduced per block before the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from asserts_otel_processor_ray.config import PipelineConfig
+from asserts_otel_processor_ray.functions.keys import apply_prom_conventions
+
+US = 1_000_000
+
+
+def _pad(arr: np.ndarray, width: int) -> np.ndarray:
+    return np.char.zfill(arr.astype(f"U{width}"), width)
+
+
+# ---------- generic partial+final count ----------------------------------
+
+def partial_count_fn(keys: list[str], consts: dict[str, str] | None = None,
+                     filter_col: str | None = None):
+    """Per-batch combiner: group by `keys` and count rows."""
+    consts = consts or {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if filter_col is not None:
+            batch = batch.filter(batch.column(filter_col))
+        if batch.num_rows == 0:
+            cols = {k: pa.nulls(0, pa.string()) for k in list(consts) + keys}
+            cols["partial_count"] = pa.nulls(0, pa.int64())
+            return pa.table(cols)
+        for k in keys:
+            if batch.column(k).null_count:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(k), k,
+                    pc.fill_null(batch.column(k), ""))
+        gb = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        out = gb.rename_columns(keys + ["partial_count"])
+        for name, val in reversed(list(consts.items())):
+            out = out.add_column(0, name, pa.array(
+                [val] * out.num_rows, pa.string()))
+        return out
+    return fn
+
+
+def final_count(ds: "ray.data.Dataset", keys: list[str],
+                out_name: str) -> "ray.data.Dataset":
+    agg = ds.groupby(keys).sum("partial_count")
+    return agg.map_batches(
+        lambda t: t.rename_columns(keys + [out_name]),
+        batch_format="pyarrow")
+
+
+# ---------- A1/A2/A3 ------------------------------------------------------
+
+def trace_counts(decided: "ray.data.Dataset",
+                 config: PipelineConfig) -> "ray.data.Dataset":
+    """A1: one count per (env, site) of traces seen."""
+    part = decided.map_batches(
+        partial_count_fn([], consts={"asserts_env": config.env,
+                                     "asserts_site": config.site},
+                         filter_col="is_trace_row"),
+        batch_format="pyarrow")
+    return final_count(part, ["asserts_env", "asserts_site"],
+                       "trace_count_total")
+
+
+def span_counts(ds: "ray.data.Dataset", config: PipelineConfig,
+                out_name: str = "span_count_total") -> "ray.data.Dataset":
+    """A3: per-(namespace, service) span counts (all turns of a segment —
+    root+entry+exit+internal, trace.go:46-52)."""
+    part = ds.map_batches(
+        partial_count_fn(["namespace", "service"],
+                         consts={"asserts_env": config.env,
+                                 "asserts_site": config.site}),
+        batch_format="pyarrow")
+    return final_count(
+        part, ["asserts_env", "asserts_site", "namespace", "service"],
+        out_name)
+
+
+def sampled_trace_counts(winner_rows: list[dict],
+                         config: PipelineConfig) -> pa.Table:
+    """A2: flushed-trace counts by sample type (driver-side; the winner
+    set is bounded by services × limit × K)."""
+    df = pd.DataFrame(winner_rows)
+    if df.empty:
+        return pa.table({"asserts_env": pa.array([], pa.string()),
+                         "asserts_site": pa.array([], pa.string()),
+                         "sample_type": pa.array([], pa.string()),
+                         "trace_sampled_count_total":
+                             pa.array([], pa.int64())})
+    g = (df.groupby("sample_type").size().reset_index(name="n")
+         .sort_values("sample_type"))
+    n = len(g)
+    return pa.table({
+        "asserts_env": pa.array([config.env] * n),
+        "asserts_site": pa.array([config.site] * n),
+        "sample_type": pa.array(g["sample_type"].tolist()),
+        "trace_sampled_count_total": pa.array(g["n"].tolist(), pa.int64()),
+    })
+
+
+# ---------- A4/A5: latency histogram with cardinality cap ----------------
+
+def metric_first_seen_fn():
+    """Per-batch partial: min first-seen key per (service_key,
+    request_context) over non-internal spans — input to the metric-side
+    cardinality cap (metric_helper.go:91-141)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("class_order"), 3)
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table({"entity_key": pa.nulls(0, pa.string()),
+                             "seg_request": pa.nulls(0, pa.string()),
+                             "seg_first_seen": pa.nulls(0, pa.string())})
+        ns = batch.column("namespace").to_numpy(zero_copy_only=False)
+        svc = batch.column("service").to_numpy(zero_copy_only=False)
+        skey = np.where(ns != "",
+                        np.char.add(np.char.add(ns.astype("U64"), "#"),
+                                    svc.astype("U64")), svc)
+        ctx = pd.Series(batch.column("asserts_request_context").to_numpy(
+            zero_copy_only=False)).fillna("").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy()
+        first = np.char.add(np.char.add(_pad(ts, 20), "|"), np.char.add(
+            np.char.add(conv.astype("U"), "|"), _pad(turn, 10)))
+        t = pa.table({"entity_key": pa.array(skey.astype("U"), pa.string()),
+                      "seg_request": pa.array(ctx, pa.string()),
+                      "seg_first_seen": pa.array(first, pa.string())})
+        gb = t.group_by(["entity_key", "seg_request"]).aggregate(
+            [("seg_first_seen", "min")])
+        return gb.rename_columns(
+            ["entity_key", "seg_request", "seg_first_seen"])
+    return fn
+
+
+def histogram_label_columns(config: PipelineConfig) -> list[str]:
+    """Sanitized extra label names in sorted order (metrics.go:84-88)."""
+    extra = list(config.attributes_as_metric_labels)
+    extra += ["asserts.request.type", "asserts.request.context",
+              "asserts.error.type"]
+    return sorted(apply_prom_conventions(a) for a in extra)
+
+
+_SOURCE_BY_LABEL_SUFFIX = {
+    "asserts_request_type": "asserts_request_type",
+    "asserts_request_context": "asserts_request_context",
+    "asserts_error_type": "asserts_error_type",
+}
+
+
+def histogram_partial_fn(config: PipelineConfig,
+                         metric_allowed: frozenset[str]):
+    """Per-batch combiner for the latency histogram + sum/count."""
+    edges = np.asarray(config.latency_histogram_buckets, dtype=np.float64)
+    extra_sources = {apply_prom_conventions(a): a
+                     for a in config.attributes_as_metric_labels}
+    label_cols = histogram_label_columns(config)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("class_order"), 3)
+        batch = batch.filter(mask)
+        cols: dict[str, np.ndarray] = {}
+        n = batch.num_rows
+        if n:
+            ns = batch.column("namespace").to_numpy(zero_copy_only=False)
+            svc = batch.column("service").to_numpy(zero_copy_only=False)
+            skey = np.where(ns != "",
+                            np.char.add(np.char.add(ns.astype("U64"), "#"),
+                                        svc.astype("U64")), svc)
+            ctx = pd.Series(batch.column(
+                "asserts_request_context").to_numpy(
+                zero_copy_only=False)).fillna("").to_numpy()
+            from asserts_otel_processor_ray.stages.topk import PAIR_SEP
+            pairkey = np.char.add(np.char.add(skey.astype("U"), PAIR_SEP),
+                                  ctx.astype("U"))
+            allowed = pd.Series(pairkey).isin(metric_allowed).to_numpy()
+            batch = batch.filter(pa.array(allowed))
+            ns, svc, ctx = ns[allowed], svc[allowed], ctx[allowed]
+            n = batch.num_rows
+        if n == 0:
+            empty = {c: pa.nulls(0, pa.string())
+                     for c in ["namespace", "service", "span_kind",
+                               "status_code"] + label_cols}
+            empty["le"] = pa.nulls(0, pa.float64())
+            empty["bucket_count"] = pa.nulls(0, pa.int64())
+            empty["latency_sum"] = pa.nulls(0, pa.float64())
+            empty["latency_count"] = pa.nulls(0, pa.int64())
+            return pa.table(empty)
+
+        lat = batch.column("latency_s").to_numpy()
+        bidx = np.searchsorted(edges, lat, side="left")
+        le = np.where(bidx < len(edges), edges[np.minimum(bidx,
+                      len(edges) - 1)], np.inf)
+        cols["namespace"] = ns
+        cols["service"] = svc
+        cols["span_kind"] = batch.column("kind").to_numpy(
+            zero_copy_only=False)
+        cols["status_code"] = batch.column("status_code").to_numpy(
+            zero_copy_only=False)
+        for lc in label_cols:
+            if lc in _SOURCE_BY_LABEL_SUFFIX:
+                src = _SOURCE_BY_LABEL_SUFFIX[lc]
+            else:
+                src = extra_sources[lc]
+            arr = pd.Series(batch.column(src).to_numpy(
+                zero_copy_only=False)).fillna("").to_numpy()
+            cols[lc] = arr
+
+        t = pa.table({k: pa.array(v.astype("U") if v.dtype == object else v)
+                      for k, v in cols.items()}
+                     | {"le": pa.array(le, pa.float64()),
+                        "latency_s": pa.array(lat, pa.float64())})
+        keys = ["namespace", "service", "span_kind", "status_code",
+                *label_cols, "le"]
+        gb = t.group_by(keys).aggregate(
+            [([], "count_all"), ("latency_s", "sum"), ("latency_s", "count")])
+        return gb.rename_columns(keys + ["bucket_count", "latency_sum",
+                                         "latency_count"])
+    return fn
+
+
+def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
+                      metric_allowed: frozenset[str]) -> "ray.data.Dataset":
+    """A4: final histogram table — per-label-set per-bucket counts plus
+    (summed over buckets downstream) _sum/_count."""
+    label_cols = histogram_label_columns(config)
+    keys = ["namespace", "service", "span_kind", "status_code",
+            *label_cols, "le"]
+    part = ds.map_batches(histogram_partial_fn(config, metric_allowed),
+                          batch_format="pyarrow")
+    agg = part.groupby(keys).aggregate(
+        ray.data.aggregate.Sum("bucket_count"),
+        ray.data.aggregate.Sum("latency_sum"),
+        ray.data.aggregate.Sum("latency_count"),
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(keys + ["bucket_count", "latency_sum",
+                                           "latency_count"]),
+        batch_format="pyarrow")

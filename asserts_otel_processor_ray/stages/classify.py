@@ -1,0 +1,329 @@
+"""Stages 3-4 — conversation (trace) assembly and sampling decisions.
+
+Replicates, as deterministic batch semantics, the reference sampler's
+per-trace walk (assertsprocessor/sampler.go:56-117):
+
+* traces = conversations; trace segments = (conv, namespace, service)
+  groups (assertsprocessor/utils.go:35-98)
+* segment spans classified root/entry/exit/internal (utils.go:79-87,
+  128-138); ``getNonInternalSpans`` = [root] + entry + exit and the main
+  span is the first of those (assertsprocessor/trace.go:22-44)
+* per-turn latency = ts(next turn in conv) − ts(turn) (M7; the
+  transcript analog of utils.go:27-29), segment latency = main-span
+  latency (sampler.go:184-193)
+* per non-internal span, in scan order: error (unless client errors
+  ignored) else slow; the FIRST hit samples the trace into that
+  segment's (entity, request) queue with the segment latency
+  (sampler.go:81-110); span-level ``asserts.sample.type`` attrs are set
+  on every hit even when the trace is already sampled
+* segments whose request context is outside the per-service cardinality
+  cap cannot create queues (service_queue.go:49-66).  (The reference
+  aborts the whole consume call in that case — sampler.go:70-75; our
+  deterministic batch spec skips just that segment.)
+
+Everything here is vectorized numpy/pandas over blocks that contain
+whole conversations (the pipeline hash-partitions by conv_id first);
+there is no per-conversation Python call.
+
+Scan order — the deterministic total order of a conversation's turns as
+the reference walks them (and the order routed traces are emitted in,
+utils.go:109-126): sort by (segment first-appearance, span class
+root<entry<exit<internal, turn_idx).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from asserts_otel_processor_ray.config import PipelineConfig
+
+US = 1_000_000
+
+# columns added by assemble_batch
+ASSEMBLE_ADDED = [
+    ("latency_s", pa.float64()),
+    ("class_order", pa.int8()),
+    ("seg_order", pa.int32()),
+    ("scan_rank", pa.int32()),
+    ("seg_has_main", pa.bool_()),
+    ("is_seg_main", pa.bool_()),
+    ("seg_request", pa.string()),
+    ("seg_latency", pa.float64()),
+    ("is_error_turn", pa.bool_()),
+    ("is_slow_turn", pa.bool_()),
+    ("turn_cand", pa.string()),
+    ("conv_arrival_us", pa.int64()),
+    ("arrival_key", pa.string()),
+    ("seg_first_seen", pa.string()),
+]
+
+DECIDE_ADDED = [
+    ("turn_sample_type", pa.string()),
+    ("is_trace_row", pa.bool_()),
+    ("trace_sample_type", pa.string()),
+    ("trace_entity", pa.string()),
+    ("trace_request", pa.string()),
+    ("trace_latency", pa.float64()),
+    ("is_ncand", pa.bool_()),
+    ("is_ncand_main", pa.bool_()),
+    ("ncand_entity", pa.string()),
+    ("ncand_request", pa.string()),
+    ("ncand_latency", pa.float64()),
+    ("ncand_bucket", pa.int64()),
+]
+
+
+def _pad20(arr: np.ndarray) -> np.ndarray:
+    return np.char.zfill(arr.astype("U20"), 20)
+
+
+def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
+    """Per-conversation assembly over a block of whole conversations."""
+    if batch.num_rows == 0:
+        out = batch
+        for name, typ in ASSEMBLE_ADDED:
+            out = out.append_column(name, pa.nulls(0, typ))
+        return out
+
+    idx = pc.sort_indices(batch, sort_keys=[("conv_id", "ascending"),
+                                            ("turn_idx", "ascending")])
+    batch = batch.take(idx)
+    n = batch.num_rows
+
+    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+    turn = batch.column("turn_idx").to_numpy()
+    ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+    kind = batch.column("kind").to_numpy(zero_copy_only=False)
+    is_root = batch.column("is_root").to_numpy(zero_copy_only=False)
+    has_error = batch.column("has_error").to_numpy(zero_copy_only=False)
+    thr = batch.column("latency_threshold_s").to_numpy()
+    err_type = batch.column("asserts_error_type").to_numpy(
+        zero_copy_only=False)
+    req_ctx = batch.column("asserts_request_context").to_numpy(
+        zero_copy_only=False)
+
+    s = pd.Series(np.arange(n))
+    conv_s = pd.Series(conv)
+    grp = s.groupby(conv_s, sort=False)
+
+    # M7 latency: next turn's ts − this turn's ts, seconds; last turn → 0
+    next_ts = pd.Series(ts_us).groupby(conv_s, sort=False).shift(-1)
+    latency = ((next_ts - ts_us) / US).fillna(0.0).to_numpy()
+
+    # span class: root < entry < exit < internal (trace.go:22-35)
+    class_order = np.select(
+        [is_root,
+         np.isin(kind, ("Server", "Consumer")),
+         np.isin(kind, ("Client", "Producer"))],
+        [0, 1, 2], 3).astype(np.int8)
+
+    # segments keyed by (conv, ns, svc); order = first appearance in conv
+    ns = batch.column("namespace").to_numpy(zero_copy_only=False)
+    svc = batch.column("service").to_numpy(zero_copy_only=False)
+    seg_df = pd.DataFrame({"conv": conv, "ns": ns, "svc": svc,
+                           "turn": turn, "row": np.arange(n)})
+    seg_key = (seg_df["conv"] + "\x00" + seg_df["ns"] + "\x00"
+               + seg_df["svc"])
+    seg_df["seg_key"] = seg_key
+    seg_first = seg_df.groupby("seg_key", sort=False)["turn"].transform("min")
+    # dense rank of seg_first within conv, fully vectorized via a
+    # small segment-level frame (segment min-turns are distinct per conv)
+    seg_level = pd.DataFrame({
+        "conv": conv, "seg_key": seg_key, "first": seg_first,
+    }).drop_duplicates("seg_key").sort_values(["conv", "first"])
+    seg_level["ord"] = seg_level.groupby("conv", sort=False).cumcount()
+    seg_order = seg_key.map(
+        seg_level.set_index("seg_key")["ord"]).to_numpy().astype(np.int32)
+
+    # segment main span: first of [root]+entry+exit by (class, turn)
+    ni_mask = class_order < 3
+    main_rank = class_order.astype(np.int64) * 10_000_000 + turn
+    mr = pd.Series(np.where(ni_mask, main_rank, np.iinfo(np.int64).max))
+    seg_min = mr.groupby(seg_key, sort=False).transform("min")
+    seg_has_main = (seg_min != np.iinfo(np.int64).max).to_numpy()
+    is_seg_main = (mr == seg_min).to_numpy() & ni_mask
+
+    # segment latency / request from the main span (sampler.go:184-193)
+    main_rows = np.flatnonzero(is_seg_main)
+    req_filled = pd.Series(req_ctx).fillna("").to_numpy()
+    seg_req_map = pd.Series(req_filled[main_rows],
+                            index=seg_key.iloc[main_rows])
+    seg_request = seg_key.map(seg_req_map).fillna("").to_numpy()
+    seg_lat_map = pd.Series(latency[main_rows],
+                            index=seg_key.iloc[main_rows])
+    seg_latency = seg_key.map(seg_lat_map).fillna(0.0).to_numpy()
+
+    # per-turn predicates (sampler.go:81-110); only non-internal spans
+    # are examined
+    ignore_client = config.ignore_client_errors
+    err_eff = has_error & ~(
+        ignore_client & (pd.Series(err_type).fillna("") == "client_errors")
+    ).to_numpy()
+    is_error_turn = err_eff & ni_mask
+    is_slow_turn = (latency > thr) & ni_mask
+    turn_cand = np.where(is_error_turn, "error",
+                         np.where(is_slow_turn & ~is_error_turn, "slow",
+                                  None))
+
+    conv_arrival = pd.Series(ts_us).groupby(conv_s, sort=False).transform(
+        "min").to_numpy()
+    conv_u = conv.astype("U")
+    arrival_key = np.char.add(np.char.add(_pad20(conv_arrival), "|"), conv_u)
+    seg_first_seen = np.where(
+        is_seg_main,
+        np.char.add(np.char.add(arrival_key, "|"),
+                    np.char.zfill(seg_order.astype("U5"), 5)),
+        "")
+
+    # scan order: (conv, seg_order, class_order, turn) — also the routed
+    # emit order (non-internal then internal per segment, utils.go:109-126)
+    order = np.lexsort((turn, class_order, seg_order, conv))
+    scan_rank = np.empty(n, dtype=np.int32)
+    scan_pos = np.arange(n, dtype=np.int64)
+    # rank within conv after the global lexsort
+    conv_sorted = conv[order]
+    starts = np.r_[0, np.flatnonzero(conv_sorted[1:] != conv_sorted[:-1]) + 1]
+    within = scan_pos - np.repeat(scan_pos[starts],
+                                  np.diff(np.r_[starts, n]))
+    scan_rank[order] = within.astype(np.int32)
+
+    out = batch
+    for name, arr, typ in [
+        ("latency_s", latency, pa.float64()),
+        ("class_order", class_order, pa.int8()),
+        ("seg_order", seg_order, pa.int32()),
+        ("scan_rank", scan_rank, pa.int32()),
+        ("seg_has_main", seg_has_main, pa.bool_()),
+        ("is_seg_main", is_seg_main, pa.bool_()),
+        ("seg_request", seg_request, pa.string()),
+        ("seg_latency", seg_latency, pa.float64()),
+        ("is_error_turn", is_error_turn, pa.bool_()),
+        ("is_slow_turn", is_slow_turn, pa.bool_()),
+        ("turn_cand", turn_cand, pa.string()),
+        ("conv_arrival_us", conv_arrival, pa.int64()),
+        ("arrival_key", arrival_key, pa.string()),
+        ("seg_first_seen", seg_first_seen, pa.string()),
+    ]:
+        out = out.append_column(name, pa.array(arr, typ))
+    # emit in scan order so downstream blocks are routed-output-ordered
+    return out.take(pa.array(order))
+
+
+class AssembleStage:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return assemble_batch(batch, self.config)
+
+
+def decide_batch(batch: pa.Table, config: PipelineConfig,
+                 allowed: frozenset[str]) -> pa.Table:
+    """Apply the cardinality cap and pick each trace's sampling decision.
+
+    ``allowed`` = set of "entity_key\\x00request" pairs admitted by the
+    per-service cap (first LimitPerService distinct request contexts per
+    entity by first-seen arrival — the deterministic analog of
+    service_queue.go:49-66 / ttlcache admission order).
+    """
+    if batch.num_rows == 0:
+        out = batch
+        for name, typ in DECIDE_ADDED:
+            out = out.append_column(name, pa.nulls(0, typ))
+        return out
+
+    n = batch.num_rows
+    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+    scan_rank = batch.column("scan_rank").to_numpy()
+    entity = batch.column("entity_key").to_numpy(zero_copy_only=False)
+    seg_request = batch.column("seg_request").to_numpy(zero_copy_only=False)
+    seg_has_main = batch.column("seg_has_main").to_numpy(
+        zero_copy_only=False)
+    seg_order = batch.column("seg_order").to_numpy()
+    seg_latency = batch.column("seg_latency").to_numpy()
+    turn_cand = batch.column("turn_cand").to_numpy(zero_copy_only=False)
+    is_seg_main = batch.column("is_seg_main").to_numpy(zero_copy_only=False)
+    arrival = batch.column("conv_arrival_us").to_numpy()
+
+    from asserts_otel_processor_ray.stages.topk import PAIR_SEP
+    pair = pd.Series(np.char.add(np.char.add(
+        entity.astype("U"), PAIR_SEP), seg_request.astype("U")))
+    seg_allowed = pair.isin(allowed).to_numpy()
+
+    # blocks arrive in scan order (assemble emits them that way); verify
+    # cheaply that convs are contiguous via scan_rank==0 starts
+    cand_ok = (pd.notna(turn_cand) & seg_has_main & seg_allowed)
+
+    # first qualifying candidate per conv (scan order)
+    cand_idx = np.flatnonzero(cand_ok)
+    cand_conv = conv[cand_idx]
+    first_mask = np.r_[True, cand_conv[1:] != cand_conv[:-1]] \
+        if len(cand_idx) else np.array([], dtype=bool)
+    win_idx = cand_idx[first_mask]
+    win_map = pd.Series(win_idx, index=conv[win_idx])
+
+    conv_s = pd.Series(conv)
+    win_of_row = conv_s.map(win_map)  # float (NaN where no winner)
+    has_winner = win_of_row.notna().to_numpy()
+    wi = win_of_row.fillna(0).astype(np.int64).to_numpy()
+
+    trace_sample_type = np.where(has_winner, turn_cand[wi], None)
+    trace_entity = np.where(has_winner, entity[wi], None)
+    trace_request = np.where(has_winner, seg_request[wi], None)
+    trace_latency = np.where(has_winner, seg_latency[wi], np.nan)
+
+    # normal candidate: first allowed segment with a main span, for
+    # traces with no error/slow winner (sampler.go:112-114,119-182)
+    ncand_row_ok = is_seg_main & seg_allowed & ~has_winner
+    nc_idx = np.flatnonzero(ncand_row_ok)
+    nc_conv = conv[nc_idx]
+    nc_first = np.r_[True, nc_conv[1:] != nc_conv[:-1]] \
+        if len(nc_idx) else np.array([], dtype=bool)
+    ncm_idx = nc_idx[nc_first]                     # ncand main rows
+    is_ncand_main = np.zeros(n, dtype=bool)
+    is_ncand_main[ncm_idx] = True
+    ncm_map = pd.Series(ncm_idx, index=conv[ncm_idx])
+    ncm_of_row = conv_s.map(ncm_map)
+    has_nc = ncm_of_row.notna().to_numpy()
+    ni = ncm_of_row.fillna(0).astype(np.int64).to_numpy()
+    bucket_us = config.normal_sampling_rate_minutes * 60 * US
+    ncand_entity = np.where(has_nc, entity[ni], None)
+    ncand_request = np.where(has_nc, seg_request[ni], None)
+    ncand_latency = np.where(has_nc, seg_latency[ni], np.nan)
+    ncand_bucket = np.where(has_nc, arrival // bucket_us, -1)
+
+    # span-level sample-type attrs: set on every qualifying span of an
+    # allowed segment (sampler.go:89,102 — even when already sampled)
+    turn_sample_type = np.where(cand_ok, turn_cand, None)
+
+    is_trace_row = scan_rank == 0
+
+    out = batch
+    for name, arr, typ in [
+        ("turn_sample_type", turn_sample_type, pa.string()),
+        ("is_trace_row", is_trace_row, pa.bool_()),
+        ("trace_sample_type", trace_sample_type, pa.string()),
+        ("trace_entity", trace_entity, pa.string()),
+        ("trace_request", trace_request, pa.string()),
+        ("trace_latency", trace_latency, pa.float64()),
+        ("is_ncand", has_nc & is_trace_row, pa.bool_()),
+        ("is_ncand_main", is_ncand_main, pa.bool_()),
+        ("ncand_entity", ncand_entity, pa.string()),
+        ("ncand_request", ncand_request, pa.string()),
+        ("ncand_latency", ncand_latency, pa.float64()),
+        ("ncand_bucket", ncand_bucket, pa.int64()),
+    ]:
+        out = out.append_column(name, pa.array(arr, typ))
+    return out
+
+
+class DecideStage:
+    def __init__(self, config: PipelineConfig, allowed: frozenset[str]):
+        self.config = config
+        self.allowed = allowed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return decide_batch(batch, self.config, self.allowed)
