@@ -4,13 +4,16 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The pipeline's primary input — the transcript table of
+``BASELINE.json``'s input_hint — is synthesized deterministically per
+sf_dir (seed 42) and cached under /tmp/graft_transcripts; the oracle
+SQL reads the exact same parquet via read_parquet().  The TPC-H-ish
+driver tables back the generic/training-data operators.
+
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +21,46 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (parse→enrich→assemble→decide→route) on
+    sf0.001; returns the routed turn table as a Ray Dataset."""
+    from asserts_otel_processor_ray.pipelines.queries import artifacts
+    art = artifacts(SF001)
+    return art["routed"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from asserts_otel_processor_ray.pipelines.queries import CORE_QUERIES
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(CORE_QUERIES)
+    try:
+        from asserts_otel_processor_ray.pipelines.extra_queries import (
+            EXTRA_QUERIES)
+        out.update(EXTRA_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (run by the driver at sf=0.01)."""
+    from asserts_otel_processor_ray.config import default_config
+    from asserts_otel_processor_ray.pipelines.oracle_sql import (
+        build_oracle_queries)
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+    path = ensure_transcripts(SF01)
+    out = build_oracle_queries(
+        default_config(), f"read_parquet('{path}/*.parquet')")
+    try:
+        from asserts_otel_processor_ray.pipelines.extra_queries import (
+            EXTRA_ORACLE_SQL)
+        out.update(EXTRA_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

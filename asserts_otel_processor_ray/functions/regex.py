@@ -49,8 +49,11 @@ def go_replacement_to_re2(replacement: str) -> str:
                     f"RE2 rewrites support \\0-\\9 only, got ${name}")
             out.append("\\" + str(n))
         else:
-            raise ReplacementTranslationError(
-                f"named group reference ${{{name}}} not supported in rewrites")
+            # Go treats $1b / ${name} as a *named* group reference
+            # (longest-name rule, regexp.Expand docs) and expands it to
+            # "" when the pattern defines no such group — the only case
+            # expressible in RE2 rewrites, so that is what we emit.
+            pass
     out.append(replacement[pos:].replace("\\", "\\\\"))
     return "".join(out)
 

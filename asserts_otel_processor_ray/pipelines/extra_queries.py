@@ -1,0 +1,406 @@
+"""Training-data-pipeline operators as driver queries: dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine), similarity
+search (brute-force + LSH), text analysis (token stats / quality /
+langid / fingerprint), generic stream ops (sessionize / window dedup /
+top-K) and the multimodal plumbing.
+
+Each SQL-expressible operator has a DuckDB oracle over the driver's
+pre-registered views (documents / embeddings / events); signature- and
+hash-based operators (LSH, SimHash, fingerprints) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from asserts_otel_processor_ray.stages import dedup as D
+from asserts_otel_processor_ray.stages import events as E
+from asserts_otel_processor_ray.stages import similarity as S
+from asserts_otel_processor_ray.stages import text_analysis as T
+from asserts_otel_processor_ray.stages.topk import collect_df
+
+STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---- text analysis -------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    part = _docs(sf_dir).map_batches(T.exact_dedup_partial,
+                                     batch_format="pyarrow")
+    df = collect_df(part)
+    out = df.groupby("text_norm", sort=False).agg(
+        doc_id=("doc_id", "min"),
+        dup_count=("dup_count", "sum")).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    part = _docs(sf_dir).map_batches(T.token_stats_batch,
+                                     batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    part = _docs(sf_dir).map_batches(T.quality_batch,
+                                     batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    part = _docs(sf_dir).map_batches(T.langid_batch,
+                                     batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    part = _docs(sf_dir).map_batches(T.fingerprint_batch,
+                                     batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_token_jaccard(sf_dir: str) -> pa.Table:
+    """Exact token-set Jaccard for all doc pairs with doc_id < 150 and
+    jaccard ≥ 0.5 (the brute-force baseline the LSH path approximates)."""
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    tbl = tbl.filter(pa.compute.less(tbl.column("doc_id"), 150))
+    toks = T._tokens_series(tbl.column("text"))
+    ids = tbl.column("doc_id").to_numpy()
+    sets = [frozenset(t) for t in toks]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            jac = float(inter) / float(union) if union else 0.0
+            if jac >= 0.5:
+                rows.append((int(ids[i]), int(ids[j]), jac))
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+# ---- near-dup (rows-only: signature/hash operators) ----------------------
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    sigs = collect_df(_docs(sf_dir).map_batches(
+        D.minhash_signatures_batch, batch_format="pyarrow"))
+    banded = D.lsh_band_keys(sigs)
+    cand = D.candidate_pairs(banded)
+    shingles: dict[int, frozenset] = {}
+    for t in ray.get(_docs(sf_dir).to_arrow_refs()):
+        if t.num_rows:
+            shingles.update(D.shingle_sets(t))
+    verified = D.jaccard_verify(cand, shingles, threshold=0.5)
+    return pa.Table.from_pandas(verified, preserve_index=False)
+
+
+def q_simhash(sf_dir: str) -> pa.Table:
+    part = _docs(sf_dir).map_batches(D.simhash_batch,
+                                     batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    pairs = S.near_dup_pairs_exact(_emb(sf_dir), threshold=0.45)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+def q_lsh_buckets(sf_dir: str) -> pa.Table:
+    """Scale path for near-dup/ANN: hyperplane-LSH bucket histogram
+    (rows-only; buckets are deterministic given the seeded planes)."""
+    ds = _emb(sf_dir)
+    dim = len(ds.take(1)[0]["embedding"])
+    sigs = collect_df(ds.map_batches(S.HyperplaneLSH(dim),
+                                     batch_format="pyarrow"))
+    out = (sigs.groupby("bucket").size().reset_index(name="n_vectors")
+           .sort_values("bucket").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- similarity search ---------------------------------------------------
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pa.compute.less(tbl.column("vec_id"), 10)
+    qt = tbl.filter(qmask)
+    qids = qt.column("vec_id").to_numpy()
+    qm = S._matrix(qt)
+    df = S.ann_topk(_emb(sf_dir), qm, qids, k=5,
+                    exclude_ids=frozenset(int(i) for i in qids))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+class _KnnLabelStage:
+    def __init__(self, train_ref):
+        import ray as _ray
+        train = _ray.get(train_ref)
+        self.m = S._normalize(train["m"])
+        self.labels = train["labels"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        keep = ids >= 100
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int32())})
+        m = S._normalize(S._matrix(batch)[keep])
+        sims = m @ self.m.T
+        best = sims.argmax(axis=1)   # first max = smallest train id
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "pred_label": pa.array(self.labels[best], pa.int32()),
+        })
+
+
+def q_knn_label(sf_dir: str) -> pa.Table:
+    import ray as _ray
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    tr = tbl.filter(pa.compute.less(tbl.column("vec_id"), 100))
+    tr = tr.sort_by("vec_id")
+    train_ref = _ray.put({"m": S._matrix(tr),
+                          "labels": tr.column("label").to_numpy()})
+    part = _emb(sf_dir).map_batches(
+        _KnnLabelStage, fn_constructor_args=(train_ref,),
+        batch_format="pyarrow", concurrency=(1, 4))
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+# ---- generic stream ops --------------------------------------------------
+
+def q_sessionize(sf_dir: str) -> pa.Table:
+    ds = _events(sf_dir)
+    from ray.data.context import ShuffleStrategy
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = 8
+    parted = ds.repartition(num_blocks=8, keys=["user_id"])
+    out = parted.map_batches(E.sessionize_batch, batch_format="pyarrow",
+                             batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_window_dedup(sf_dir: str) -> pa.Table:
+    part = _events(sf_dir).map_batches(E.window_dedup_partial,
+                                       batch_format="pyarrow")
+    df = collect_df(part)
+    idx = df.groupby(["user_id", "bucket"], sort=False)["pick"].idxmin()
+    out = df.loc[idx].copy()
+    out["event_id"] = out["pick"].str.slice(21).astype(np.int64)
+    out = out[["user_id", "bucket", "event_id"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def q_topk_users(sf_dir: str) -> pa.Table:
+    part = _events(sf_dir).map_batches(E.count_topk_partial,
+                                       batch_format="pyarrow")
+    df = collect_df(part)
+    agg = df.groupby(["event_type", "user_id"], sort=False)[
+        "partial_count"].sum().reset_index(name="n_events")
+    agg = agg.sort_values(["event_type", "n_events", "user_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    agg["rank"] = agg.groupby("event_type", sort=False).cumcount() + 1
+    out = agg[agg["rank"] <= 10].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- multimodal ----------------------------------------------------------
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    from asserts_otel_processor_ray.stages.multimodal import (
+        MediaFeatureStage, documents_as_media)
+    media = _docs(sf_dir).map_batches(documents_as_media,
+                                      batch_format="pyarrow")
+    feats = media.map_batches(MediaFeatureStage, batch_size=64,
+                              concurrency=(1, 4), batch_format="pyarrow")
+    out = feats.map_batches(
+        lambda t: t.select(["media_id", "media_type", "n_bytes",
+                            "payload_sha8"]),
+        batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+EXTRA_QUERIES = {
+    "d_exact_dedup": q_exact_dedup,
+    "d_token_stats": q_token_stats,
+    "d_quality": q_quality,
+    "d_langid": q_langid,
+    "d_fingerprint": q_fingerprint,
+    "d_token_jaccard": q_token_jaccard,
+    "d_minhash_pairs": q_minhash_pairs,
+    "d_simhash": q_simhash,
+    "e_ann_topk": q_ann_topk,
+    "e_knn_label": q_knn_label,
+    "e_embedding_near_dup": q_embedding_near_dup,
+    "e_lsh_buckets": q_lsh_buckets,
+    "g_sessionize": q_sessionize,
+    "g_window_dedup": q_window_dedup,
+    "g_topk_users": q_topk_users,
+    "m_media_features": q_media_features,
+}
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang in T.LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(t, x -> x IN ({markers}))) AS score_{lang}")
+    branches = []
+    for lang in T.LANG_ORDER:
+        others = [o for o in T.LANG_ORDER if o != lang]
+        cond = " AND ".join(f"score_{lang} >= score_{o}" for o in others)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    greatest = ", ".join(f"score_{o}" for o in T.LANG_ORDER)
+    pred = (f"CASE WHEN greatest({greatest}) = 0 THEN 'und' "
+            + " ".join(branches) + " END")
+    cols = ", ".join(f"score_{o}" for o in T.LANG_ORDER)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM toks)
+SELECT doc_id, {pred} AS pred_lang, {cols} FROM scored"""
+
+
+EXTRA_ORACLE_SQL = {
+    "d_exact_dedup": """
+SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1""",
+    "d_token_stats": """
+SELECT doc_id, n_tokens, chars_no_ws,
+       CAST(chars_no_ws AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS avg_token_len
+FROM (SELECT doc_id,
+        array_length(regexp_split_to_array(trim(text), '\\s+'))
+          AS n_tokens,
+        length(regexp_replace(text, '\\s', '', 'g')) AS chars_no_ws
+      FROM documents)""",
+    "d_quality": f"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    len(list_filter(t, x -> x IN ({STOP_SQL}))) AS n_stopwords,
+    len(list_distinct(t)) AS n_distinct
+  FROM toks),
+ratios AS (
+  SELECT *,
+    CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      AS stopword_ratio,
+    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      AS type_token_ratio
+  FROM base)
+SELECT *,
+  0.4 * least(greatest(CAST(n_tokens AS DOUBLE) / 100.0, 0.0), 1.0)
+  + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio
+    AS quality_score
+FROM ratios""",
+    "d_langid": _langid_sql(),
+    "d_token_jaccard": """
+WITH s AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE doc_id < 150)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+    CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE)
+      AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5""",
+    "e_ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT q.qid, e.vec_id AS nid,
+        list_cosine_similarity(e.embedding, q.qe) AS cos
+      FROM embeddings e, q WHERE e.vec_id >= 10)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rank FROM (
+  SELECT qid, nid,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM c)
+WHERE rn <= 5""",
+    "e_embedding_near_dup": """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b FROM p WHERE cos >= 0.45""",
+    "e_knn_label": """
+WITH tr AS (SELECT * FROM embeddings WHERE vec_id < 100),
+te AS (SELECT * FROM embeddings WHERE vec_id >= 100),
+c AS (SELECT te.vec_id, tr.label, tr.vec_id AS tid,
+        list_cosine_similarity(te.embedding, tr.embedding) AS cos
+      FROM te, tr)
+SELECT vec_id, label AS pred_label FROM (
+  SELECT vec_id, label,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, tid) AS rn
+  FROM c)
+WHERE rn = 1""",
+    "g_sessionize": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL
+    OR epoch_us(ts) - epoch_us(pts) > 1800000000
+    THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+    AS sid
+  FROM f)
+SELECT user_id, sid AS session_id, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM g GROUP BY user_id, sid""",
+    "g_window_dedup": """
+SELECT user_id, bucket,
+  CAST(substr(min(pick), 22) AS BIGINT) AS event_id
+FROM (SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+        lpad(CAST(event_id AS VARCHAR), 12, '0') AS pick
+      FROM events)
+GROUP BY user_id, bucket""",
+    "g_topk_users": """
+WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n_events, rn AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY n_events DESC, user_id) AS rn
+  FROM c)
+WHERE rn <= 10""",
+    "m_media_features": """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       substr(sha256(text), 1, 8) AS payload_sha8
+FROM documents""",
+}

@@ -98,20 +98,22 @@ def build_enriched(ds: "ray.data.Dataset", config: PipelineConfig, *,
 
 
 def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
-                  num_partitions: int = 32,
+                  num_partitions: int | None = None,
                   enrich_concurrency=None,
                   ) -> tuple["ray.data.Dataset", frozenset[str]]:
     """Everything up to per-trace decisions; returns (decided, allowed)."""
     # The one full-data shuffle is the conv_id hash repartition; scope
-    # the HASH_SHUFFLE strategy (and a right-sized aggregator pool) to
-    # this dataset's context only — the later small groupbys run on the
-    # cheaper sort path (contexts are snapshotted per dataset).
+    # the HASH_SHUFFLE strategy to this dataset's context only, with a
+    # deliberately small aggregator pool: each aggregator is an actor
+    # whose startup is pure fixed cost (64 defaults → ~30s on one node;
+    # 8-16 → ~5s).  On a real multi-node cluster this scales with nodes.
     import ray as _ray
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
+    if num_partitions is None:
+        num_partitions = max(8, ncpus)
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.default_hash_shuffle_parallelism = num_partitions
-    ds.context.max_hash_shuffle_aggregators = max(2, min(num_partitions,
-                                                         ncpus))
+    ds.context.max_hash_shuffle_aggregators = max(2, min(16, ncpus // 2))
     enriched = build_enriched(ds, config,
                               enrich_concurrency=enrich_concurrency)
     parted = enriched.repartition(num_blocks=num_partitions,
@@ -145,7 +147,8 @@ def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
 
 
 def select_winners(decided: "ray.data.Dataset",
-                   config: PipelineConfig) -> list[dict]:
+                   config: PipelineConfig,
+                   return_normal: bool = False):
     """Error/slow queue items + periodic normal winners → top-K flush set."""
     traces = _filter_col(decided, "is_trace_row")
 
@@ -193,13 +196,16 @@ def select_winners(decided: "ray.data.Dataset",
                 [r["arrival_key"] for r in normal_rows]),
         })
         items = items.union(ray.data.from_arrow(tbl))
-    return topk_items(items, config.per_request_topk)
+    winners = topk_items(items, config.per_request_topk)
+    if return_normal:
+        return winners, normal_rows
+    return winners
 
 
 def run_pipeline(input_path: "str | ray.data.Dataset",
                  config: PipelineConfig, *,
                  out_dir: str | None = None,
-                 num_partitions: int = 32,
+                 num_partitions: int | None = None,
                  enrich_concurrency=None,
                  with_aggregates: bool = True) -> PipelineResult:
     """End-to-end single-flush batch run (E1, SURVEY.md §3)."""

@@ -1,0 +1,235 @@
+"""Ray-side query callables matching the oracle SQL (oracle_sql.py).
+
+Each query runs the real Ray pipeline over the transcripts of `sf_dir`
+and projects the stage the oracle checks.  The heavy artifacts (decided
+turn table, winner set) are computed once per sf_dir and cached in the
+driver process, so the driver's per-query loop doesn't re-run the
+pipeline sixteen times.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from asserts_otel_processor_ray.config import PipelineConfig, default_config
+from asserts_otel_processor_ray.pipelines.pipeline import (
+    _filter_col,
+    build_decided,
+    read_transcripts,
+    select_winners,
+)
+from asserts_otel_processor_ray.pipelines.oracle_sql import PARSED_COLS
+from asserts_otel_processor_ray.sources.synthetic import ensure_transcripts
+from asserts_otel_processor_ray.stages.aggregate import (
+    latency_histogram,
+    metric_first_seen_fn,
+    span_counts,
+    trace_counts,
+)
+from asserts_otel_processor_ray.stages.route import ROUTED_COLUMNS, RouteStage
+from asserts_otel_processor_ray.stages.topk import (
+    PAIR_SEP,
+    compute_allowed_pairs,
+)
+
+_CACHE: dict[str, dict] = {}
+
+
+def _ds_to_table(ds: "ray.data.Dataset") -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return ray.get(refs[0]) if refs else pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def artifacts(sf_dir: str, config: PipelineConfig | None = None) -> dict:
+    key = sf_dir
+    if key in _CACHE:
+        return _CACHE[key]
+    config = config or default_config()
+    path = ensure_transcripts(sf_dir)
+    ds = read_transcripts(path)
+    decided, allowed = build_decided(ds, config, num_partitions=16)
+    winners, normal_rows = select_winners(decided, config,
+                                          return_normal=True)
+    winner_map = {r["conv_id"]: r["sample_type"] for r in winners}
+    routed = decided.map_batches(RouteStage(winner_map),
+                                 batch_format="pyarrow")
+    routed = routed.map_batches(lambda t: t.select(ROUTED_COLUMNS),
+                                batch_format="pyarrow").materialize()
+    art = {
+        "config": config,
+        "decided": decided,
+        "decided_tbl": _ds_to_table(decided),
+        "allowed": allowed,
+        "winners": winners,
+        "normal_rows": normal_rows,
+        "winner_map": winner_map,
+        "routed": routed,
+        "routed_tbl": _ds_to_table(routed),
+    }
+    _CACHE[key] = art
+    return art
+
+
+def _winner_table(winners: list[dict]) -> pa.Table:
+    return pa.table({
+        "conv_id": pa.array([r["conv_id"] for r in winners], pa.string()),
+        "entity": pa.array([r["entity"] for r in winners], pa.string()),
+        "request": pa.array([r["request"] for r in winners], pa.string()),
+        "qtype": pa.array([r["qtype"] for r in winners], pa.string()),
+        "sample_type": pa.array([r["sample_type"] for r in winners],
+                                pa.string()),
+        "latency": pa.array([r["latency"] for r in winners], pa.float64()),
+    })
+
+
+# ---- individual queries --------------------------------------------------
+
+def q_parse(sf_dir: str) -> pa.Table:
+    t = artifacts(sf_dir)["decided_tbl"]
+    return t.select(PARSED_COLS.replace(" ", "").split(","))
+
+
+def q_enrich(sf_dir: str) -> pa.Table:
+    art = artifacts(sf_dir)
+    t = art["decided_tbl"]
+    from asserts_otel_processor_ray.functions.keys import (
+        ATTR_ERROR_TYPE, ATTR_REQUEST_CONTEXT, attr_column)
+    rules = art["config"].compiled_rules()
+    target_cols = sorted({attr_column(x) for x in rules}
+                         | {attr_column(ATTR_REQUEST_CONTEXT),
+                            attr_column(ATTR_ERROR_TYPE)})
+    cols = (PARSED_COLS.replace(" ", "").split(",")
+            + ["asserts_request_type"] + target_cols
+            + ["entity_key", "latency_threshold_s"])
+    return t.select(cols)
+
+
+def q_latency(sf_dir: str) -> pa.Table:
+    t = artifacts(sf_dir)["decided_tbl"]
+    return t.select(["conv_id", "turn_idx", "latency_s", "class_order",
+                     "conv_arrival_us"])
+
+
+def q_assemble(sf_dir: str) -> pa.Table:
+    t = artifacts(sf_dir)["decided_tbl"]
+    return t.select(["conv_id", "turn_idx", "seg_order", "scan_rank",
+                     "is_seg_main", "seg_has_main", "seg_request",
+                     "seg_latency", "is_error_turn", "is_slow_turn",
+                     "turn_cand", "arrival_key"])
+
+
+def q_allowed(sf_dir: str) -> pa.Table:
+    allowed = sorted(artifacts(sf_dir)["allowed"])
+    ents, reqs = [], []
+    for pair in allowed:
+        e, _, r = pair.partition(PAIR_SEP)
+        ents.append(e)
+        reqs.append(r)
+    return pa.table({"entity_key": pa.array(ents, pa.string()),
+                     "request_context": pa.array(reqs, pa.string())})
+
+
+def q_trace_decisions(sf_dir: str) -> pa.Table:
+    t = artifacts(sf_dir)["decided_tbl"]
+    t = t.filter(pc.and_(t.column("is_trace_row"),
+                         pc.is_valid(t.column("trace_sample_type"))))
+    return t.select(["conv_id", "trace_sample_type", "trace_entity",
+                     "trace_request", "trace_latency"])
+
+
+def q_normal_winners(sf_dir: str) -> pa.Table:
+    rows = artifacts(sf_dir)["normal_rows"]
+    return pa.table({
+        "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+        "entity": pa.array([r["ncand_entity"] for r in rows], pa.string()),
+        "request": pa.array([r["ncand_request"] for r in rows],
+                            pa.string()),
+        "latency": pa.array([r["ncand_latency"] for r in rows],
+                            pa.float64()),
+    })
+
+
+def q_winners(sf_dir: str) -> pa.Table:
+    return _winner_table(artifacts(sf_dir)["winners"])
+
+
+def _q_routed(sf_dir: str, sample_type: str) -> pa.Table:
+    t = artifacts(sf_dir)["routed_tbl"]
+    if t.num_rows == 0:
+        return t
+    return t.filter(pc.equal(t.column("sample_type"), sample_type))
+
+
+def q_routed_error(sf_dir: str) -> pa.Table:
+    return _q_routed(sf_dir, "error")
+
+
+def q_routed_slow(sf_dir: str) -> pa.Table:
+    return _q_routed(sf_dir, "slow")
+
+
+def q_routed_normal(sf_dir: str) -> pa.Table:
+    return _q_routed(sf_dir, "normal")
+
+
+def q_agg_trace_count(sf_dir: str) -> pa.Table:
+    art = artifacts(sf_dir)
+    return trace_counts(art["decided"], art["config"])
+
+
+def q_agg_span_count(sf_dir: str) -> pa.Table:
+    art = artifacts(sf_dir)
+    return span_counts(art["decided"], art["config"])
+
+
+def q_agg_sampled_count(sf_dir: str) -> pa.Table:
+    from asserts_otel_processor_ray.stages.aggregate import (
+        sampled_trace_counts)
+    art = artifacts(sf_dir)
+    return sampled_trace_counts(art["winners"], art["config"])
+
+
+def q_agg_span_sampled(sf_dir: str) -> pa.Table:
+    art = artifacts(sf_dir)
+    return span_counts(art["routed"], art["config"],
+                       out_name="span_sampled_count_total")
+
+
+def q_agg_latency_hist(sf_dir: str) -> pa.Table:
+    art = artifacts(sf_dir)
+    config = art["config"]
+    metric_seen = art["decided"].map_batches(metric_first_seen_fn(),
+                                             batch_format="pyarrow")
+    metric_allowed = compute_allowed_pairs(
+        metric_seen, "entity_key", "seg_request", "seg_first_seen",
+        config.limit_per_service)
+    return latency_histogram(art["decided"], config, metric_allowed)
+
+
+CORE_QUERIES = {
+    "t_parse": q_parse,
+    "t_enrich": q_enrich,
+    "t_latency": q_latency,
+    "t_assemble": q_assemble,
+    "t_allowed": q_allowed,
+    "t_trace_decisions": q_trace_decisions,
+    "t_normal_winners": q_normal_winners,
+    "t_winners": q_winners,
+    "t_routed_error": q_routed_error,
+    "t_routed_slow": q_routed_slow,
+    "t_routed_normal": q_routed_normal,
+    "t_agg_trace_count": q_agg_trace_count,
+    "t_agg_span_count": q_agg_span_count,
+    "t_agg_sampled_count": q_agg_sampled_count,
+    "t_agg_span_sampled": q_agg_span_sampled,
+    "t_agg_latency_hist": q_agg_latency_hist,
+}

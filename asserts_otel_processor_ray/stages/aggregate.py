@@ -69,17 +69,24 @@ def partial_count_fn(keys: list[str], consts: dict[str, str] | None = None,
 
 
 def final_count(ds: "ray.data.Dataset", keys: list[str],
-                out_name: str) -> "ray.data.Dataset":
-    agg = ds.groupby(keys).sum("partial_count")
-    return agg.map_batches(
-        lambda t: t.rename_columns(keys + [out_name]),
-        batch_format="pyarrow")
+                out_name: str) -> pa.Table:
+    """Driver-side final merge of the per-batch partial counts — the
+    partials are pre-reduced per block so this is tiny (no shuffle)."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    df = collect_df(ds)
+    if df.empty:
+        cols = {k: pa.array([], pa.string()) for k in keys}
+        cols[out_name] = pa.array([], pa.int64())
+        return pa.table(cols)
+    out = (df.groupby(keys, sort=False, dropna=False)["partial_count"]
+           .sum().reset_index(name=out_name))
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---------- A1/A2/A3 ------------------------------------------------------
 
 def trace_counts(decided: "ray.data.Dataset",
-                 config: PipelineConfig) -> "ray.data.Dataset":
+                 config: PipelineConfig) -> pa.Table:
     """A1: one count per (env, site) of traces seen."""
     part = decided.map_batches(
         partial_count_fn([], consts={"asserts_env": config.env,
@@ -91,7 +98,7 @@ def trace_counts(decided: "ray.data.Dataset",
 
 
 def span_counts(ds: "ray.data.Dataset", config: PipelineConfig,
-                out_name: str = "span_count_total") -> "ray.data.Dataset":
+                out_name: str = "span_count_total") -> pa.Table:
     """A3: per-(namespace, service) span counts (all turns of a segment —
     root+entry+exit+internal, trace.go:46-52)."""
     part = ds.map_batches(
@@ -248,20 +255,27 @@ def histogram_partial_fn(config: PipelineConfig,
 
 
 def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
-                      metric_allowed: frozenset[str]) -> "ray.data.Dataset":
+                      metric_allowed: frozenset[str]) -> pa.Table:
     """A4: final histogram table — per-label-set per-bucket counts plus
-    (summed over buckets downstream) _sum/_count."""
+    sum/count.  The label space is bounded by the A5 cap (≤ limit
+    request contexts per service × buckets), so after the per-batch
+    partial the final sum is a small driver-side merge."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
     label_cols = histogram_label_columns(config)
     keys = ["namespace", "service", "span_kind", "status_code",
             *label_cols, "le"]
     part = ds.map_batches(histogram_partial_fn(config, metric_allowed),
                           batch_format="pyarrow")
-    agg = part.groupby(keys).aggregate(
-        ray.data.aggregate.Sum("bucket_count"),
-        ray.data.aggregate.Sum("latency_sum"),
-        ray.data.aggregate.Sum("latency_count"),
-    )
-    return agg.map_batches(
-        lambda t: t.rename_columns(keys + ["bucket_count", "latency_sum",
-                                           "latency_count"]),
-        batch_format="pyarrow")
+    df = collect_df(part)
+    if df.empty:
+        cols = {k: pa.array([], pa.string()) for k in keys[:-1]}
+        cols["le"] = pa.array([], pa.float64())
+        cols["bucket_count"] = pa.array([], pa.int64())
+        cols["latency_sum"] = pa.array([], pa.float64())
+        cols["latency_count"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    out = df.groupby(keys, sort=False, dropna=False).agg(
+        bucket_count=("bucket_count", "sum"),
+        latency_sum=("latency_sum", "sum"),
+        latency_count=("latency_count", "sum")).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,89 @@
+"""Generic stream-table operators over the ``events`` table
+(event_id, ts, user_id, event_type, value, props): sessionization,
+windowed dedup and grouped top-K — the reference's windowing/top-K
+semantics (K1, K3) applied to a generic key instead of conv_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+US = 1_000_000
+
+
+def sessionize_batch(batch: pa.Table, gap_s: float = 1800.0) -> pa.Table:
+    """Per-user sessionization: a new session starts when the gap from
+    the previous event exceeds `gap_s`.  Requires blocks hash-partitioned
+    by user_id (same machinery as the conv_id repartition)."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.timestamp("us")),
+            "last_ts": pa.array([], pa.timestamp("us")),
+        })
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(batch, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
+                                            ("event_id", "ascending")])
+    batch = batch.take(idx)
+    user = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    gap_us = int(gap_s * US)
+    new_user = np.r_[True, user[1:] != user[:-1]]
+    gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+    new_session = new_user | gap
+    sess_global = np.cumsum(new_session) - 1
+    # session_id within user (0-based)
+    user_start = np.where(new_user, sess_global, 0)
+    user_start = np.maximum.accumulate(
+        np.where(new_user, sess_global, -1))
+    session_id = sess_global - user_start
+    df = pd.DataFrame({"user_id": user, "session_id": session_id,
+                       "ts": ts})
+    g = df.groupby(["user_id", "session_id"], sort=False)
+    out = g["ts"].agg(["size", "min", "max"]).reset_index()
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "session_id": pa.array(out["session_id"].to_numpy(), pa.int64()),
+        "n_events": pa.array(out["size"].to_numpy(), pa.int64()),
+        "first_ts": pa.array(out["min"].to_numpy().astype(
+            "datetime64[us]"), pa.timestamp("us")),
+        "last_ts": pa.array(out["max"].to_numpy().astype(
+            "datetime64[us]"), pa.timestamp("us")),
+    })
+
+
+def window_dedup_partial(batch: pa.Table,
+                         window_s: float = 300.0) -> pa.Table:
+    """First event per (user, window bucket): per-batch partial min of
+    (ts, event_id) — K3's window dedup on a generic key."""
+    if batch.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "pick": pa.array([], pa.string())})
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    user = batch.column("user_id").to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    bucket = ts // int(window_s * US)
+    pick = np.char.add(np.char.add(
+        np.char.zfill(ts.astype("U20"), 20), "|"),
+        np.char.zfill(eid.astype("U12"), 12))
+    df = pd.DataFrame({"user_id": user, "bucket": bucket, "pick": pick})
+    idx = df.groupby(["user_id", "bucket"], sort=False)["pick"].idxmin()
+    out = df.loc[idx]
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "bucket": pa.array(out["bucket"].to_numpy(), pa.int64()),
+        "pick": pa.array(out["pick"].to_numpy(), pa.string()),
+    })
+
+
+def count_topk_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial counts per (event_type, user_id)."""
+    gb = batch.select(["event_type", "user_id"]).group_by(
+        ["event_type", "user_id"]).aggregate([([], "count_all")])
+    return gb.rename_columns(["event_type", "user_id", "partial_count"])

@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic stub (sha256-derived pseudo-features);
+everything Ray-side — schema, batch sizing, actor signature, output
+layout — is real.  Swapping ``_decode_stub`` for a PIL/ffmpeg call is
+the only change needed on a cluster with codecs installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),      # image | audio | video
+    ("payload", pa.binary()),          # opaque encoded bytes
+    ("meta_width", pa.int32()),
+    ("meta_height", pa.int32()),
+])
+
+FEATURE_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("payload_sha8", pa.string()),     # first 8 hex chars of sha256
+    ("feature", pa.list_(pa.float32())),
+])
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB decode/feature-extract: a real deployment replaces this with
+    image decode + model inference.  Deterministic: 8 float32 features
+    derived from the sha256 digest."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(digest[:32], dtype=np.uint8).astype(np.float32)
+    return (raw.reshape(8, 4).mean(axis=1) / 255.0).astype(np.float32)
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: decode + featurize a batch of media payloads.
+
+    Use with small ``batch_size`` (large binary payloads) and
+    ``concurrency=(min, max)``:
+
+        ds.map_batches(MediaFeatureStage, batch_size=64,
+                       concurrency=(2, 8), batch_format="pyarrow")
+    """
+
+    def __init__(self):
+        # model load / codec init happens ONCE per actor here
+        self._decode = _decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self._decode(p) for p in payloads]
+        sha8 = [hashlib.sha256(p).hexdigest()[:8] for p in payloads]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "media_type": batch.column("media_type"),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "payload_sha8": pa.array(sha8, pa.string()),
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float32())),
+        }, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(batch: pa.Table) -> pa.Table:
+    """Adapter used by tests/queries: treat document text bytes as an
+    opaque payload so the media plumbing can be exercised without
+    codecs."""
+    import pyarrow.compute as pc
+    text = batch.column("text")
+    payload = text.cast(pa.binary())
+    n = batch.num_rows
+    return pa.table({
+        "media_id": batch.column("doc_id").cast(pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": payload,
+        "meta_width": pa.array(
+            pc.utf8_length(text).cast(pa.int32())),
+        "meta_height": pa.array(np.ones(n, np.int32), pa.int32()),
+    }, schema=MEDIA_SCHEMA)

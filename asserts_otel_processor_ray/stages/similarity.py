@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* Brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put``) and every batch computes a float64 matmul against it,
+  emitting only its local top-k per query (two-phase top-k, exact).
+* LSH-bucketed variant (random hyperplanes) as the scale path: bucket
+  signatures per batch; search only same-bucket vectors.
+* Embedding-cosine near-dup: same machinery with a threshold.
+
+Float discipline: similarity ranks must match a float64 oracle, so the
+matmul always happens in float64 and only *ranks/ids* are emitted —
+never raw cosines (summation order differs across engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: local top-k of each broadcast query against
+    the batch's vectors (actor pool; the query matrix loads once)."""
+
+    def __init__(self, queries_ref, query_ids, k: int,
+                 exclude_ids: frozenset | None = None):
+        q = (ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray)
+             else queries_ref)
+        self.q = _normalize(q.astype(np.float64))
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.exclude = exclude_ids or frozenset()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        keep = ~np.isin(ids, list(self.exclude)) if self.exclude \
+            else np.ones(len(ids), bool)
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = _normalize(_matrix(batch)[keep])
+        sims = self.q @ m.T                       # (nq, nb) float64
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rowq = np.repeat(self.query_ids, k)
+        flat = idx.ravel()
+        simv = np.take_along_axis(sims, idx, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(rowq, pa.int64()),
+            "neighbor_id": pa.array(ids[flat], pa.int64()),
+            "cos": pa.array(simv, pa.float64()),
+        })
+
+
+def ann_topk(ds: "ray.data.Dataset", queries: np.ndarray,
+             query_ids, k: int,
+             exclude_ids: frozenset | None = None) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch partials + driver merge.
+
+    Returns (query_id, neighbor_id, rank) — rank 1-based by cosine desc,
+    neighbor_id asc tie-break.  Cosines are dropped from the result (see
+    module docstring).
+    """
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    qref = ray.put(queries)
+    part = ds.map_batches(
+        BruteForceTopK, fn_constructor_args=(qref, query_ids, k,
+                                             exclude_ids),
+        batch_format="pyarrow", concurrency=(1, 8))
+    df = collect_df(part)
+    if df.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+    df = df[df["rank"] <= k]
+    return df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Scale path: 16-bit random-hyperplane signatures per vector; ANN
+    probes only matching (or near-matching) buckets."""
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((nbits, dim))
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        out = np.zeros(len(m), dtype=np.uint64)
+        for i in range(bits.shape[1]):
+            out |= bits[:, i].astype(np.uint64) << np.uint64(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        sig = self.signature(m)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "bucket": pa.array(sig.astype(np.int64), pa.int64()),
+        })
+
+
+class BruteForcePairs:
+    """map_batches stage for exact near-dup pairs: each batch's vectors
+    against the broadcast full matrix (baseline path; the LSH-bucketed
+    variant replaces the broadcast at cluster scale)."""
+
+    def __init__(self, all_ref, threshold: float):
+        d = ray.get(all_ref)
+        self.m = _normalize(d["m"].astype(np.float64))
+        self.ids = np.asarray(d["ids"], dtype=np.int64)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalize(_matrix(batch))
+        sims = m @ self.m.T
+        ii, jj = np.nonzero(sims >= self.threshold)
+        a, b = ids[ii], self.ids[jj]
+        keep = a < b
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(b[keep], pa.int64())})
+
+
+def near_dup_pairs_exact(ds: "ray.data.Dataset",
+                         threshold: float) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (vec_a < vec_b)."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    vecs = collect_df(ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]),
+        batch_format="pyarrow"))
+    all_ref = ray.put({
+        "m": np.stack([np.asarray(e, dtype=np.float64)
+                       for e in vecs["embedding"]]),
+        "ids": vecs["vec_id"].to_numpy(),
+    })
+    part = ds.map_batches(BruteForcePairs,
+                          fn_constructor_args=(all_ref, threshold),
+                          batch_format="pyarrow", concurrency=(1, 8))
+    df = collect_df(part)
+    if df.empty:
+        return pd.DataFrame(columns=["vec_a", "vec_b"])
+    return (df.drop_duplicates().sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True))
+
+
+def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
+                       dim: int) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    verify inside each bucket (groupby(bucket) at scale; collected at
+    test scale)."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    lsh = HyperplaneLSH(dim)
+    sigs = collect_df(ds.map_batches(lsh, batch_format="pyarrow"))
+    vecs = collect_df(ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]),
+        batch_format="pyarrow"))
+    by_id = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+             for r in vecs.itertuples()}
+    pairs = []
+    for _, grp in sigs.groupby("bucket"):
+        ids = sorted(grp["vec_id"].tolist())
+        if len(ids) < 2:
+            continue
+        m = _normalize(np.stack([by_id[i] for i in ids]))
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = sims[ii, jj] >= threshold
+        for a, b in zip(np.asarray(ids)[ii[hit]],
+                        np.asarray(ids)[jj[hit]]):
+            pairs.append((int(a), int(b)))
+    return pd.DataFrame(sorted(set(pairs)), columns=["vec_a", "vec_b"])

@@ -13,20 +13,38 @@ mutable queue/cache state (T3-T5):
   priority_queue.go:44-58), hence the (latency desc, arrival desc)
   deterministic order.
 
-All of these are groupby/map_groups over *candidate-filtered* datasets
-(tiny next to the turn table), so the only full-data shuffle in the
-pipeline stays the one conv_id repartition.
+All three are semilattice reductions, so they run **two-phase**: a
+vectorized per-batch partial reduce inside ``map_batches`` (map-side
+combine — this is also the skew mitigation: a hot (entity, request)
+pair is reduced to ≤K rows per block before anything moves), then a
+driver-side merge of the partials.  The partials are bounded by the
+caps (≤ limit contexts per service, ≤K per pair, one winner per
+bucket), so no shuffle of the full data ever happens and the driver
+merge stays small.  This beats a Ray groupby here because each
+all-to-all operator carries seconds of fixed cost that dwarfs these
+kilobyte-sized reductions.
 """
 
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
+import ray
 import ray.data
 
 # NB: not "\x00" — numpy fixed-width unicode strips trailing NULs, which
 # silently deletes a NUL separator inside np.char.add.
 PAIR_SEP = "\x1f"
+
+
+def collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Materialize a (small, pre-reduced) dataset to a driver DataFrame."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return pd.DataFrame()
+    return pa.concat_tables(tables,
+                            promote_options="permissive").to_pandas()
 
 
 def compute_allowed_pairs(seg_rows: "ray.data.Dataset",
@@ -35,50 +53,75 @@ def compute_allowed_pairs(seg_rows: "ray.data.Dataset",
                           limit: int) -> frozenset[str]:
     """First `limit` distinct request contexts per entity by first-seen.
 
-    `seg_rows` must have one row per (entity, request) *occurrence*;
-    reduction happens here.  Returns packed "entity\\x00request" keys.
-    The per-entity result is bounded (≤ limit), so take_all() is small.
+    `seg_rows` must already be partially reduced per batch (one row per
+    (entity, request) per block); the final reduce + per-entity rank
+    happens on the driver and is bounded by distinct pairs.
     """
-    firsts = seg_rows.groupby([entity_col, request_col]).min(first_seen_col)
-    min_col = f"min({first_seen_col})"
+    df = collect_df(seg_rows)
+    if df.empty:
+        return frozenset()
+    idx = df.groupby([entity_col, request_col])[first_seen_col].idxmin()
+    firsts = df.loc[idx].sort_values(first_seen_col, kind="mergesort")
+    capped = firsts.groupby(entity_col, sort=False).head(limit)
+    return frozenset(
+        (capped[entity_col] + PAIR_SEP + capped[request_col]).tolist())
 
-    def head_limit(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(min_col, kind="mergesort")
-        return df.head(limit)
 
-    capped = firsts.groupby(entity_col).map_groups(
-        head_limit, batch_format="pandas")
-    rows = capped.take_all()
-    return frozenset(r[entity_col] + PAIR_SEP + r[request_col] for r in rows)
+_NC_KEYS = ["ncand_entity", "ncand_request", "ncand_bucket"]
 
 
 def periodic_normal_winners(ncands: "ray.data.Dataset") -> list[dict]:
     """One winner per (entity, request, bucket): min arrival.
 
+    Two-phase: per-batch idxmin partial, driver-side final idxmin.
     Input rows need: ncand_entity, ncand_request, ncand_bucket,
     ncand_latency, arrival_key, conv_id.
     """
-    def head1(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("arrival_key", kind="mergesort").head(1)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        idx = df.groupby(_NC_KEYS, sort=False)["arrival_key"].idxmin()
+        return df.loc[idx]
 
-    winners = ncands.groupby(
-        ["ncand_entity", "ncand_request", "ncand_bucket"]).map_groups(
-        head1, batch_format="pandas")
-    return winners.take_all()
+    df = collect_df(ncands.map_batches(partial, batch_format="pandas"))
+    if df.empty:
+        return []
+    idx = df.groupby(_NC_KEYS, sort=False)["arrival_key"].idxmin()
+    return df.loc[idx].to_dict("records")
+
+
+_ITEM_KEYS = ["entity", "request", "qtype"]
+
+
+def topk_df(df: pd.DataFrame, k: int,
+            keys: list[str] = _ITEM_KEYS) -> pd.DataFrame:
+    """Vectorized per-group top-K by (latency desc, arrival desc)."""
+    df = df.sort_values(keys + ["latency", "arrival_key"],
+                        ascending=[True] * len(keys) + [False, False],
+                        kind="mergesort")
+    rank = df.groupby(keys, sort=False).cumcount()
+    return df[rank < k]
 
 
 def topk_items(items: "ray.data.Dataset", k: int) -> list[dict]:
-    """Top-K per (entity, request, qtype) by (latency desc, arrival desc).
+    """Top-K per (entity, request, qtype): per-batch partial top-K then
+    driver-side final top-K (top-K is a semilattice, so two-phase is
+    exact).  Ties prefer later arrival (heap replace-on-tie semantics,
+    priority_queue.go:49-57)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return topk_df(df, k)
 
-    Input rows: entity, request, qtype, sample_type, latency, arrival_key,
-    conv_id.  Ties prefer later arrival (heap replace-on-tie semantics,
-    priority_queue.go:49-57).
-    """
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["latency", "arrival_key"],
-                            ascending=[False, False], kind="mergesort")
-        return df.head(k)
+    df = collect_df(items.map_batches(partial, batch_format="pandas"))
+    if df.empty:
+        return []
+    return topk_df(df, k).to_dict("records")
 
-    winners = items.groupby(["entity", "request", "qtype"]).map_groups(
-        topk, batch_format="pandas")
-    return winners.take_all()
+
+def topk_order(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """The deterministic top-K rule for one (entity, request, qtype)
+    group: latency desc, later arrival wins ties (unit-testable form)."""
+    df = df.sort_values(["latency", "arrival_key"],
+                        ascending=[False, False], kind="mergesort")
+    return df.head(k)

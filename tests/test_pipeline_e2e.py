@@ -1,0 +1,67 @@
+"""End-to-end: the Ray pipeline vs the generated DuckDB oracle on a
+small deterministic transcript table (FIXTURES.md F4 — routed-row
+equality and per-sink aggregate counts)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from asserts_otel_processor_ray.config import default_config
+from asserts_otel_processor_ray.pipelines.oracle_sql import (
+    build_oracle_queries,
+)
+from asserts_otel_processor_ray.sources.synthetic import ensure_transcripts
+
+# a tiny sf the driver doesn't use: ~1800 turns, generated on demand
+SF_DIR = "/tmp/graft_sf/sf0.0003"
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype("string")
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == np.float64:
+            df[c] = df[c].round(9)
+        if str(df[c].dtype) in ("int32", "int8", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "boolean" or df[c].dtype == bool:
+            df[c] = df[c].astype("boolean")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    path = ensure_transcripts(SF_DIR)
+    cfg = default_config()
+    return build_oracle_queries(cfg, f"read_parquet('{path}/*.parquet')")
+
+
+@pytest.fixture(scope="module")
+def queries(ray_session):
+    from asserts_otel_processor_ray.pipelines.queries import CORE_QUERIES
+    return CORE_QUERIES
+
+
+# the full correctness gate, one test per stage family so failures
+# localize; every query in CORE_QUERIES is covered
+NAMES = [
+    "t_parse", "t_enrich", "t_latency", "t_assemble", "t_allowed",
+    "t_trace_decisions", "t_normal_winners", "t_winners",
+    "t_routed_error", "t_routed_slow", "t_routed_normal",
+    "t_agg_trace_count", "t_agg_span_count", "t_agg_sampled_count",
+    "t_agg_span_sampled", "t_agg_latency_hist",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, oracle, queries):
+    ray_df = queries[name](SF_DIR).to_pandas()
+    sql_df = duckdb.sql(oracle[name]).df()
+    a, b = normalize(ray_df), normalize(sql_df)
+    assert set(a.columns) == set(b.columns)
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
