@@ -21,6 +21,8 @@ from asserts_otel_processor_ray.config import PipelineConfig, default_config
 from asserts_otel_processor_ray.pipelines.pipeline import (
     _filter_col,
     build_decided,
+    build_enriched,
+    build_routed,
     read_transcripts,
     select_winners,
 )
@@ -32,7 +34,7 @@ from asserts_otel_processor_ray.stages.aggregate import (
     span_counts,
     trace_counts,
 )
-from asserts_otel_processor_ray.stages.route import ROUTED_COLUMNS, RouteStage
+from asserts_otel_processor_ray.stages.route import ROUTED_COLUMNS
 from asserts_otel_processor_ray.stages.topk import (
     PAIR_SEP,
     compute_allowed_pairs,
@@ -55,19 +57,20 @@ def artifacts(sf_dir: str, config: PipelineConfig | None = None) -> dict:
         return _CACHE[key]
     config = config or default_config()
     path = ensure_transcripts(sf_dir)
-    ds = read_transcripts(path)
-    decided, allowed = build_decided(ds, config, num_partitions=16)
+    source = read_transcripts(path)
+    decided, allowed = build_decided(source, config, num_partitions=16)
     winners, normal_rows = select_winners(decided, config,
                                           return_normal=True)
     winner_map = {r["conv_id"]: r["sample_type"] for r in winners}
-    routed = decided.map_batches(RouteStage(winner_map),
-                                 batch_format="pyarrow")
-    routed = routed.map_batches(lambda t: t.select(ROUTED_COLUMNS),
-                                batch_format="pyarrow").materialize()
+    routed = build_routed(source, decided, winner_map).materialize()
+    # full-width enriched table (incl. text/attr cols that the slim
+    # sort path drops) for the parse/enrich oracle checks
+    enriched_tbl = _ds_to_table(build_enriched(source, config))
     art = {
         "config": config,
         "decided": decided,
         "decided_tbl": _ds_to_table(decided),
+        "enriched_tbl": enriched_tbl,
         "allowed": allowed,
         "winners": winners,
         "normal_rows": normal_rows,
@@ -94,13 +97,13 @@ def _winner_table(winners: list[dict]) -> pa.Table:
 # ---- individual queries --------------------------------------------------
 
 def q_parse(sf_dir: str) -> pa.Table:
-    t = artifacts(sf_dir)["decided_tbl"]
+    t = artifacts(sf_dir)["enriched_tbl"]
     return t.select(PARSED_COLS.replace(" ", "").split(","))
 
 
 def q_enrich(sf_dir: str) -> pa.Table:
     art = artifacts(sf_dir)
-    t = art["decided_tbl"]
+    t = art["enriched_tbl"]
     from asserts_otel_processor_ray.functions.keys import (
         ATTR_ERROR_TYPE, ATTR_REQUEST_CONTEXT, attr_column)
     rules = art["config"].compiled_rules()
@@ -208,7 +211,8 @@ def q_agg_latency_hist(sf_dir: str) -> pa.Table:
     art = artifacts(sf_dir)
     config = art["config"]
     metric_seen = art["decided"].map_batches(metric_first_seen_fn(),
-                                             batch_format="pyarrow")
+                                             batch_format="pyarrow",
+                                             batch_size=None)
     metric_allowed = compute_allowed_pairs(
         metric_seen, "entity_key", "seg_request", "seg_first_seen",
         config.limit_per_service)

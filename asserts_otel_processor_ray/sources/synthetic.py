@@ -138,9 +138,14 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
         pool.append(" ".join(parts))
 
     pool_arr = pa.array(pool, pa.string())
-    text_idx = pa.array(rng.integers(0, pool_n, total), pa.int32())
+    text_idx = rng.integers(0, pool_n, total)
     import pyarrow.compute as pc
-    texts = pc.take(pool_arr, text_idx)
+    # chunk the take so no single string chunk exceeds the 2 GiB
+    # int32-offset limit at large scale factors
+    chunk = 5_000_000
+    texts = pa.chunked_array([
+        pc.take(pool_arr, pa.array(text_idx[i:i + chunk], pa.int32()))
+        for i in range(0, total, chunk)])
 
     return pa.table({
         "conv_id": pa.array(conv_id, pa.string()),

@@ -135,10 +135,18 @@ def sampled_trace_counts(winner_rows: list[dict],
 
 # ---------- A4/A5: latency histogram with cardinality cap ----------------
 
+def service_key_expr(batch: pa.Table):
+    """Vectorized ``ns#svc`` | bare svc (utils.go:9-15), arrow kernels."""
+    ns = batch.column("namespace")
+    svc = batch.column("service")
+    return pc.if_else(pc.not_equal(ns, ""),
+                      pc.binary_join_element_wise(ns, svc, "#"), svc)
+
+
 def metric_first_seen_fn():
     """Per-batch partial: min first-seen key per (service_key,
     request_context) over non-internal spans — input to the metric-side
-    cardinality cap (metric_helper.go:91-141)."""
+    cardinality cap (metric_helper.go:91-141).  Pure Arrow kernels."""
     def fn(batch: pa.Table) -> pa.Table:
         mask = pc.less(batch.column("class_order"), 3)
         batch = batch.filter(mask)
@@ -146,25 +154,56 @@ def metric_first_seen_fn():
             return pa.table({"entity_key": pa.nulls(0, pa.string()),
                              "seg_request": pa.nulls(0, pa.string()),
                              "seg_first_seen": pa.nulls(0, pa.string())})
-        ns = batch.column("namespace").to_numpy(zero_copy_only=False)
-        svc = batch.column("service").to_numpy(zero_copy_only=False)
-        skey = np.where(ns != "",
-                        np.char.add(np.char.add(ns.astype("U64"), "#"),
-                                    svc.astype("U64")), svc)
-        ctx = pd.Series(batch.column("asserts_request_context").to_numpy(
-            zero_copy_only=False)).fillna("").to_numpy()
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()
-        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-        turn = batch.column("turn_idx").to_numpy()
-        first = np.char.add(np.char.add(_pad(ts, 20), "|"), np.char.add(
-            np.char.add(conv.astype("U"), "|"), _pad(turn, 10)))
-        t = pa.table({"entity_key": pa.array(skey.astype("U"), pa.string()),
-                      "seg_request": pa.array(ctx, pa.string()),
-                      "seg_first_seen": pa.array(first, pa.string())})
+        skey = service_key_expr(batch)
+        ctx = pc.fill_null(batch.column("asserts_request_context"), "")
+        ts_s = pc.utf8_lpad(pc.cast(batch.column("ts").cast(pa.int64()),
+                                    pa.string()), 20, "0")
+        turn_s = pc.utf8_lpad(pc.cast(batch.column("turn_idx"),
+                                      pa.string()), 10, "0")
+        first = pc.binary_join_element_wise(
+            ts_s, batch.column("conv_id"), turn_s, "|")
+        t = pa.table({"entity_key": skey, "seg_request": ctx,
+                      "seg_first_seen": first})
         gb = t.group_by(["entity_key", "seg_request"]).aggregate(
             [("seg_first_seen", "min")])
         return gb.rename_columns(
             ["entity_key", "seg_request", "seg_first_seen"])
+    return fn
+
+
+def combined_partials_fn(config: PipelineConfig):
+    """ONE scan over the decided table emitting three partial
+    reductions, marked by `kind`: trace counts (A1), span counts (A3)
+    and the metric first-seen pairs feeding the A5 cap.  Collapsing the
+    scans removes two full passes over the turn table."""
+    mseen = metric_first_seen_fn()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        frames = []
+        n_traces = pc.sum(batch.column("is_trace_row")).as_py() or 0
+        frames.append(pd.DataFrame({
+            "kind": ["tcount"], "namespace": [""], "service": [""],
+            "entity_key": [""], "seg_request": [""],
+            "seg_first_seen": [""], "partial_count": [n_traces]}))
+        sc = batch.select(["namespace", "service"]).group_by(
+            ["namespace", "service"]).aggregate([([], "count_all")])
+        sdf = sc.rename_columns(
+            ["namespace", "service", "partial_count"]).to_pandas()
+        sdf.insert(0, "kind", "scount")
+        sdf["entity_key"] = ""
+        sdf["seg_request"] = ""
+        sdf["seg_first_seen"] = ""
+        frames.append(sdf)
+        ms = mseen(batch).to_pandas()
+        ms.insert(0, "kind", "mseen")
+        ms["namespace"] = ""
+        ms["service"] = ""
+        ms["partial_count"] = 0
+        frames.append(ms)
+        out = pd.concat(frames, ignore_index=True)
+        cols = ["kind", "namespace", "service", "entity_key",
+                "seg_request", "seg_first_seen", "partial_count"]
+        return pa.Table.from_pandas(out[cols], preserve_index=False)
     return fn
 
 
@@ -191,26 +230,20 @@ def histogram_partial_fn(config: PipelineConfig,
                      for a in config.attributes_as_metric_labels}
     label_cols = histogram_label_columns(config)
 
+    from asserts_otel_processor_ray.stages.topk import PAIR_SEP
+    allowed_set = pa.array(sorted(metric_allowed), pa.string())
+
     def fn(batch: pa.Table) -> pa.Table:
         mask = pc.less(batch.column("class_order"), 3)
         batch = batch.filter(mask)
-        cols: dict[str, np.ndarray] = {}
         n = batch.num_rows
         if n:
-            ns = batch.column("namespace").to_numpy(zero_copy_only=False)
-            svc = batch.column("service").to_numpy(zero_copy_only=False)
-            skey = np.where(ns != "",
-                            np.char.add(np.char.add(ns.astype("U64"), "#"),
-                                        svc.astype("U64")), svc)
-            ctx = pd.Series(batch.column(
-                "asserts_request_context").to_numpy(
-                zero_copy_only=False)).fillna("").to_numpy()
-            from asserts_otel_processor_ray.stages.topk import PAIR_SEP
-            pairkey = np.char.add(np.char.add(skey.astype("U"), PAIR_SEP),
-                                  ctx.astype("U"))
-            allowed = pd.Series(pairkey).isin(metric_allowed).to_numpy()
-            batch = batch.filter(pa.array(allowed))
-            ns, svc, ctx = ns[allowed], svc[allowed], ctx[allowed]
+            skey = service_key_expr(batch)
+            ctx_a = pc.fill_null(
+                batch.column("asserts_request_context"), "")
+            pairkey = pc.binary_join_element_wise(skey, ctx_a, PAIR_SEP)
+            keep = pc.is_in(pairkey, value_set=allowed_set)
+            batch = batch.filter(keep)
             n = batch.num_rows
         if n == 0:
             empty = {c: pa.nulls(0, pa.string())
@@ -226,25 +259,18 @@ def histogram_partial_fn(config: PipelineConfig,
         bidx = np.searchsorted(edges, lat, side="left")
         le = np.where(bidx < len(edges), edges[np.minimum(bidx,
                       len(edges) - 1)], np.inf)
-        cols["namespace"] = ns
-        cols["service"] = svc
-        cols["span_kind"] = batch.column("kind").to_numpy(
-            zero_copy_only=False)
-        cols["status_code"] = batch.column("status_code").to_numpy(
-            zero_copy_only=False)
+        cols = {
+            "namespace": batch.column("namespace"),
+            "service": batch.column("service"),
+            "span_kind": batch.column("kind"),
+            "status_code": batch.column("status_code"),
+        }
         for lc in label_cols:
-            if lc in _SOURCE_BY_LABEL_SUFFIX:
-                src = _SOURCE_BY_LABEL_SUFFIX[lc]
-            else:
-                src = extra_sources[lc]
-            arr = pd.Series(batch.column(src).to_numpy(
-                zero_copy_only=False)).fillna("").to_numpy()
-            cols[lc] = arr
-
-        t = pa.table({k: pa.array(v.astype("U") if v.dtype == object else v)
-                      for k, v in cols.items()}
-                     | {"le": pa.array(le, pa.float64()),
-                        "latency_s": pa.array(lat, pa.float64())})
+            src = _SOURCE_BY_LABEL_SUFFIX.get(lc) or extra_sources[lc]
+            cols[lc] = pc.fill_null(batch.column(src), "")
+        cols["le"] = pa.array(le, pa.float64())
+        cols["latency_s"] = batch.column("latency_s")
+        t = pa.table(cols)
         keys = ["namespace", "service", "span_kind", "status_code",
                 *label_cols, "le"]
         gb = t.group_by(keys).aggregate(
@@ -265,7 +291,7 @@ def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
     keys = ["namespace", "service", "span_kind", "status_code",
             *label_cols, "le"]
     part = ds.map_batches(histogram_partial_fn(config, metric_allowed),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
     df = collect_df(part)
     if df.empty:
         cols = {k: pa.array([], pa.string()) for k in keys[:-1]}

@@ -249,12 +249,19 @@ def decide_batch(batch: pa.Table, config: PipelineConfig,
     arrival = batch.column("conv_arrival_us").to_numpy()
 
     from asserts_otel_processor_ray.stages.topk import PAIR_SEP
-    pair = pd.Series(np.char.add(np.char.add(
-        entity.astype("U"), PAIR_SEP), seg_request.astype("U")))
-    seg_allowed = pair.isin(allowed).to_numpy()
+    pair_a = pc.binary_join_element_wise(batch.column("entity_key"),
+                                         batch.column("seg_request"),
+                                         PAIR_SEP)
+    seg_allowed = pc.is_in(
+        pair_a, value_set=pa.array(sorted(allowed), pa.string())
+    ).to_numpy(zero_copy_only=False)
 
-    # blocks arrive in scan order (assemble emits them that way); verify
-    # cheaply that convs are contiguous via scan_rank==0 starts
+    # rows of a conversation are contiguous (assemble emits scan order);
+    # group index per row lets winners broadcast without hash maps
+    changed = np.r_[True, conv[1:] != conv[:-1]]
+    gidx = np.cumsum(changed) - 1
+    n_groups = int(gidx[-1]) + 1
+
     cand_ok = (pd.notna(turn_cand) & seg_has_main & seg_allowed)
 
     # first qualifying candidate per conv (scan order)
@@ -263,12 +270,11 @@ def decide_batch(batch: pa.Table, config: PipelineConfig,
     first_mask = np.r_[True, cand_conv[1:] != cand_conv[:-1]] \
         if len(cand_idx) else np.array([], dtype=bool)
     win_idx = cand_idx[first_mask]
-    win_map = pd.Series(win_idx, index=conv[win_idx])
-
-    conv_s = pd.Series(conv)
-    win_of_row = conv_s.map(win_map)  # float (NaN where no winner)
-    has_winner = win_of_row.notna().to_numpy()
-    wi = win_of_row.fillna(0).astype(np.int64).to_numpy()
+    win_arr = np.full(n_groups, -1, dtype=np.int64)
+    win_arr[gidx[win_idx]] = win_idx
+    wi = win_arr[gidx]
+    has_winner = wi >= 0
+    wi = np.where(has_winner, wi, 0)
 
     trace_sample_type = np.where(has_winner, turn_cand[wi], None)
     trace_entity = np.where(has_winner, entity[wi], None)
@@ -285,10 +291,11 @@ def decide_batch(batch: pa.Table, config: PipelineConfig,
     ncm_idx = nc_idx[nc_first]                     # ncand main rows
     is_ncand_main = np.zeros(n, dtype=bool)
     is_ncand_main[ncm_idx] = True
-    ncm_map = pd.Series(ncm_idx, index=conv[ncm_idx])
-    ncm_of_row = conv_s.map(ncm_map)
-    has_nc = ncm_of_row.notna().to_numpy()
-    ni = ncm_of_row.fillna(0).astype(np.int64).to_numpy()
+    ncm_arr = np.full(n_groups, -1, dtype=np.int64)
+    ncm_arr[gidx[ncm_idx]] = ncm_idx
+    ni = ncm_arr[gidx]
+    has_nc = ni >= 0
+    ni = np.where(has_nc, ni, 0)
     bucket_us = config.normal_sampling_rate_minutes * 60 * US
     ncand_entity = np.where(has_nc, entity[ni], None)
     ncand_request = np.where(has_nc, seg_request[ni], None)

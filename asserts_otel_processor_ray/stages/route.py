@@ -2,15 +2,20 @@
 
 The reference's flush drains retained traces to the next consumer
 (sampler.go:215-276), rebuilding each trace with non-internal spans
-first then internal, per segment (utils.go:109-126).  Here a batch run
-has one logical flush: turns of winner conversations are kept, stamped
-with the final ``asserts.sample.type`` attrs, and written to one Parquet
-sink per class (error / slow / normal) plus an optional pass-through
-sink of everything (processor.go:70-74 when sample_traces=false).
+first then internal, per segment (utils.go:109-126).  A batch run has
+one logical flush: turns of winner conversations are kept, stamped with
+the final ``asserts.sample.type`` attrs, and written to one Parquet
+sink per class (error / slow / normal).
+
+Shuffle discipline: the heavy source columns (``text`` and friends)
+never ride the pipeline's sort — decisions are made on slim columns,
+and this stage re-attaches the source columns by scanning the ORIGINAL
+input and merging the broadcast winner-conversation rows (bounded:
+winners ≤ services × limit × K conversations) on (conv_id, turn_idx).
 
 Rows carry ``(conv_id, seg_order, class_order, turn_idx, scan_rank)``
 so the routed emit order (scan order) is reconstructible after any
-shuffle; blocks are already emitted in scan order by assemble.
+shuffle.
 """
 
 from __future__ import annotations
@@ -20,56 +25,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-ROUTE_ADDED = [
-    ("asserts_sample_type", pa.string()),   # span-level attr
-    ("sample_type", pa.string()),           # trace-level routed class
-]
-
-
-class RouteStage:
-    """map_batches stage: keep winner conversations, stamp attrs.
-
-    winner_map: conv_id → trace-level sample type (error/slow/normal)
-    normal_convs: conv_ids sampled as normal (their ncand main turn gets
-    the span-level "normal" attr — sampler.go:166-170).
-    """
-
-    def __init__(self, winner_map: dict[str, str]):
-        self.winner_map = winner_map
-        self.normal_convs = {c for c, t in winner_map.items()
-                             if t == "normal"}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            out = batch
-            for name, typ in ROUTE_ADDED:
-                out = out.append_column(name, pa.nulls(0, typ))
-            return out
-        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-        sample = pd.Series(conv).map(self.winner_map)
-        keep = sample.notna().to_numpy()
-        batch = batch.filter(pa.array(keep))
-        if batch.num_rows == 0:
-            out = batch
-            for name, typ in ROUTE_ADDED:
-                out = out.append_column(name, pa.nulls(0, typ))
-            return out
-        conv = conv[keep]
-        sample = sample[keep].to_numpy()
-
-        turn_attr = batch.column("turn_sample_type").to_numpy(
-            zero_copy_only=False)
-        is_ncand_main = batch.column("is_ncand_main").to_numpy(
-            zero_copy_only=False)
-        is_normal = pd.Series(conv).isin(self.normal_convs).to_numpy()
-        attr = np.where(is_ncand_main & is_normal, "normal", turn_attr)
-
-        out = batch.append_column("asserts_sample_type",
-                                  pa.array(attr, pa.string()))
-        out = out.append_column("sample_type", pa.array(sample, pa.string()))
-        return out
-
-
 ROUTED_COLUMNS = [
     "conv_id", "turn_idx", "role", "text", "tool", "ts",
     "kind", "namespace", "service", "span_name", "status_code",
@@ -77,3 +32,86 @@ ROUTED_COLUMNS = [
     "asserts_sample_type", "sample_type", "entity_key", "latency_s",
     "seg_order", "class_order", "scan_rank",
 ]
+
+# decided-side columns the join contributes
+_DECIDED_COLS = [
+    "conv_id", "turn_idx", "kind", "namespace", "service", "span_name",
+    "status_code", "asserts_request_type", "asserts_request_context",
+    "asserts_error_type", "entity_key", "latency_s", "seg_order",
+    "class_order", "scan_rank", "turn_sample_type", "is_ncand_main",
+]
+
+
+def winner_rows_table(decided_batch: pa.Table,
+                      winner_convs: pa.Array) -> pa.Table:
+    """Per-batch filter: decided rows of winner conversations (the
+    broadcast side of the route join)."""
+    keep = pc.is_in(decided_batch.column("conv_id"),
+                    value_set=winner_convs)
+    return decided_batch.filter(keep).select(_DECIDED_COLS)
+
+
+class RouteJoinStage:
+    """map_batches stage over the ORIGINAL transcript input: keep winner
+    conversations, merge the broadcast decided rows, stamp sample-type
+    attrs (span-level marks survive; a normal winner's main turn gets
+    "normal" — sampler.go:89,102,166-170)."""
+
+    def __init__(self, decided_rows: pa.Table,
+                 winner_map: dict[str, str]):
+        df = decided_rows.to_pandas()
+        df["sample_type"] = df["conv_id"].map(winner_map)
+        is_normal = df["sample_type"] == "normal"
+        df["asserts_sample_type"] = np.where(
+            df["is_ncand_main"].to_numpy(dtype=bool) & is_normal,
+            "normal", df["turn_sample_type"])
+        self.df = df.set_index(["conv_id", "turn_idx"])
+        self.winner_convs = pa.array(sorted(winner_map), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("conv_id"),
+                        value_set=self.winner_convs)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return _empty_routed()
+        src = batch.select(["conv_id", "turn_idx", "role", "text",
+                            "tool", "ts"]).to_pandas()
+        merged = src.join(self.df, on=["conv_id", "turn_idx"],
+                          how="inner")
+        out = pa.Table.from_pandas(merged[ROUTED_COLUMNS],
+                                   preserve_index=False)
+        return out.cast(_routed_schema(out.schema))
+
+
+def _routed_schema(schema: pa.Schema) -> pa.Schema:
+    fields = []
+    for f in schema:
+        if f.name in ("seg_order",):
+            fields.append(pa.field(f.name, pa.int32()))
+        elif f.name in ("class_order",):
+            fields.append(pa.field(f.name, pa.int8()))
+        elif f.name in ("scan_rank",):
+            fields.append(pa.field(f.name, pa.int32()))
+        else:
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def _empty_routed() -> pa.Table:
+    cols: dict[str, pa.Array] = {}
+    for name in ROUTED_COLUMNS:
+        if name == "turn_idx":
+            cols[name] = pa.nulls(0, pa.int32())
+        elif name == "ts":
+            cols[name] = pa.nulls(0, pa.timestamp("us"))
+        elif name == "latency_s":
+            cols[name] = pa.nulls(0, pa.float64())
+        elif name == "seg_order":
+            cols[name] = pa.nulls(0, pa.int32())
+        elif name == "class_order":
+            cols[name] = pa.nulls(0, pa.int8())
+        elif name == "scan_rank":
+            cols[name] = pa.nulls(0, pa.int32())
+        else:
+            cols[name] = pa.nulls(0, pa.string())
+    return pa.table(cols)

@@ -47,6 +47,20 @@ def collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
                             promote_options="permissive").to_pandas()
 
 
+def allowed_pairs_from_df(df: pd.DataFrame, entity_col: str,
+                          request_col: str, first_seen_col: str,
+                          limit: int) -> frozenset[str]:
+    """Driver-side final of the cap: min first-seen per pair, then the
+    first `limit` request contexts per entity."""
+    if df.empty:
+        return frozenset()
+    idx = df.groupby([entity_col, request_col])[first_seen_col].idxmin()
+    firsts = df.loc[idx].sort_values(first_seen_col, kind="mergesort")
+    capped = firsts.groupby(entity_col, sort=False).head(limit)
+    return frozenset(
+        (capped[entity_col] + PAIR_SEP + capped[request_col]).tolist())
+
+
 def compute_allowed_pairs(seg_rows: "ray.data.Dataset",
                           entity_col: str, request_col: str,
                           first_seen_col: str,
@@ -57,14 +71,8 @@ def compute_allowed_pairs(seg_rows: "ray.data.Dataset",
     (entity, request) per block); the final reduce + per-entity rank
     happens on the driver and is bounded by distinct pairs.
     """
-    df = collect_df(seg_rows)
-    if df.empty:
-        return frozenset()
-    idx = df.groupby([entity_col, request_col])[first_seen_col].idxmin()
-    firsts = df.loc[idx].sort_values(first_seen_col, kind="mergesort")
-    capped = firsts.groupby(entity_col, sort=False).head(limit)
-    return frozenset(
-        (capped[entity_col] + PAIR_SEP + capped[request_col]).tolist())
+    return allowed_pairs_from_df(collect_df(seg_rows), entity_col,
+                                 request_col, first_seen_col, limit)
 
 
 _NC_KEYS = ["ncand_entity", "ncand_request", "ncand_bucket"]

@@ -1,0 +1,74 @@
+"""Lineage manifest + stage checkpoint/resume (state/checkpoint.py)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def tmp_root(tmp_path):
+    return str(tmp_path)
+
+
+def test_lineage_roundtrip(tmp_root):
+    from asserts_otel_processor_ray.state.checkpoint import Lineage
+    lin = Lineage(tmp_root)
+    assert not lin.stage_complete("s", "h")
+    lin.record_partition("s", "h", os.path.join(tmp_root, "f.parquet"),
+                         10, 100)
+    lin.mark_complete("s", "h", 10)
+    assert lin.stage_complete("s", "h")
+    assert not lin.stage_complete("s", "other-hash")
+    # reload from disk
+    lin2 = Lineage(tmp_root)
+    assert lin2.stage_complete("s", "h")
+    assert lin2.partitions("s", "h")[0]["rows"] == 10
+
+
+def test_checkpoint_table_and_restore(tmp_root, ray_session):
+    from asserts_otel_processor_ray.state.checkpoint import (
+        checkpoint_dataset, checkpoint_table, restore_dataset)
+    import ray.data
+    tbl = pa.table({"a": [1, 2, 3]})
+    checkpoint_table(tbl, tmp_root, "small", "h1")
+    files = glob.glob(os.path.join(tmp_root, "small", "*.parquet"))
+    assert pq.read_table(files[0]).equals(tbl)
+
+    ds = ray.data.from_arrow(pa.table({"x": list(range(100))}))
+    checkpoint_dataset(ds, tmp_root, "big", "h1")
+    restored = restore_dataset(tmp_root, "big", "h1")
+    assert restored is not None
+    assert restored.count() == 100
+    assert restore_dataset(tmp_root, "big", "h2") is None
+
+    manifest = os.path.join(tmp_root, "_lineage", "manifest.jsonl")
+    kinds = [json.loads(line)["kind"] for line in open(manifest)]
+    assert "partition" in kinds and "complete" in kinds
+
+
+def test_pipeline_resume(tmp_root, ray_session):
+    from asserts_otel_processor_ray.config import default_config
+    from asserts_otel_processor_ray.pipelines.pipeline import run_pipeline
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+    path = ensure_transcripts("/x/sf0.0003")
+    out = os.path.join(tmp_root, "out")
+    ck = os.path.join(tmp_root, "ck")
+    cfg = default_config()
+    r1 = run_pipeline(path, cfg, out_dir=out, checkpoint_dir=ck,
+                      with_aggregates=False)
+    r2 = run_pipeline(path, cfg, out_dir=out, checkpoint_dir=ck,
+                      with_aggregates=False)
+    assert r1.winner_map == r2.winner_map
+    assert sorted(r1.sink_paths) == sorted(r2.sink_paths)
+    # the decided checkpoint is marked complete with per-file lineage
+    from asserts_otel_processor_ray.state.checkpoint import Lineage
+    lin = Lineage(ck)
+    h = cfg.config_hash()
+    assert lin.stage_complete("decided", h)
+    assert len(lin.partitions("decided", h)) >= 1
