@@ -175,6 +175,15 @@ class PipelineConfig:
         return hashlib.sha256(blob).hexdigest()[:16]
 
     @staticmethod
+    def from_yaml(path: str) -> "PipelineConfig":
+        """Load from a YAML file (the S5 config source; the remote
+        config API of the reference becomes a local file in a batch
+        run)."""
+        import yaml
+        with open(path) as f:
+            return PipelineConfig.from_dict(yaml.safe_load(f) or {})
+
+    @staticmethod
     def from_dict(d: dict[str, Any]) -> "PipelineConfig":
         """Build from a plain dict (YAML/JSON-loaded).  Accepts both the
         legacy ``custom_attributes`` shape and the ``span_attributes``

@@ -1,0 +1,153 @@
+"""Training-data operators: unit semantics + DuckDB-oracle parity at
+sf0.001 (the driver runs the same comparisons at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- unit semantics ------------------------------------------------------
+
+def test_minhash_similar_docs_share_signatures():
+    from asserts_otel_processor_ray.stages.dedup import (
+        minhash_signatures_batch)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [base, base + "extra tail", "completely different words "
+                 "about database engines and query planners " * 3],
+    })
+    sigs = minhash_signatures_batch(t).to_pandas()
+    cols = [c for c in sigs.columns if c.startswith("mh")]
+    agree01 = (sigs.loc[0, cols] == sigs.loc[1, cols]).mean()
+    agree02 = (sigs.loc[0, cols] == sigs.loc[2, cols]).mean()
+    assert agree01 > 0.5            # near-dups share most minhashes
+    assert agree02 < 0.2            # unrelated docs share few
+
+
+def test_simhash_hamming_tracks_similarity():
+    from asserts_otel_processor_ray.stages.dedup import simhash_batch
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [base, base + " iota", "one two three four five six "
+                 "seven eight nine ten " * 3],
+    })
+    s = simhash_batch(t).to_pandas()
+    v = [int(x, 16) for x in s["simhash"]]
+    ham01 = bin(v[0] ^ v[1]).count("1")
+    ham02 = bin(v[0] ^ v[2]).count("1")
+    assert ham01 < ham02
+    assert ham01 <= 8
+
+
+def test_lsh_candidates_superset_of_near_pairs():
+    from asserts_otel_processor_ray.stages.dedup import (
+        candidate_pairs, lsh_band_keys, minhash_signatures_batch)
+    base = "red orange yellow green blue indigo violet " * 6
+    texts = [base, base + " tail", "unrelated thing entirely " * 8]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": texts})
+    sigs = minhash_signatures_batch(t).to_pandas()
+    cand = candidate_pairs(lsh_band_keys(sigs))
+    pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+    assert (0, 1) in pairs
+
+
+def test_bruteforce_ann_exact():
+    from asserts_otel_processor_ray.stages.similarity import (
+        _normalize)
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 8))
+    q = m[:2] + rng.standard_normal((2, 8)) * 0.01
+    sims = _normalize(q) @ _normalize(m).T
+    assert sims[0].argmax() == 0 and sims[1].argmax() == 1
+
+
+def test_sessionize_gap_semantics():
+    from asserts_otel_processor_ray.stages.events import sessionize_batch
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 1_000_000 * 100, 1_000_000 * 5000,
+                        1_000_000 * 10], pa.timestamp("us")),
+        "event_type": ["a"] * 4,
+        "value": [0.0] * 4,
+        "props": [""] * 4,
+    })
+    out = sessionize_batch(t, gap_s=1800.0).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    assert u1["n_events"].tolist() == [2, 1]   # 5000s gap breaks
+    assert out[out["user_id"] == 2]["session_id"].tolist() == [0]
+
+
+def test_media_stub_deterministic():
+    from asserts_otel_processor_ray.stages.multimodal import (
+        MediaFeatureStage, documents_as_media)
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": ["hello world"]})
+    stage = MediaFeatureStage()
+    out1 = stage(documents_as_media(t))
+    out2 = stage(documents_as_media(t))
+    assert out1.equals(out2)
+    assert out1.column("n_bytes")[0].as_py() == len(b"hello world")
+    feat = out1.column("feature")[0].as_py()
+    assert len(feat) == 8 and all(0 <= f <= 1 for f in feat)
+
+
+# ---- DuckDB-oracle parity (same harness the driver runs) -----------------
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype("string")
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == np.float64:
+            df[c] = df[c].round(9)
+        if str(df[c].dtype) in ("int32", "int8", "uint32", "uint64"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for name in ["documents", "embeddings", "events"]:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{SF}/{name}.parquet')")
+    return con
+
+
+CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
+           "d_token_jaccard", "e_ann_topk", "e_knn_label",
+           "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
+           "g_topk_users", "m_media_features"]
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_extra_query_matches_oracle(name, ducks, ray_session):
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        EXTRA_ORACLE_SQL, EXTRA_QUERIES)
+    a = _norm(EXTRA_QUERIES[name](SF).to_pandas())
+    b = _norm(ducks.sql(EXTRA_ORACLE_SQL[name]).df())
+    assert set(a.columns) == set(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+ROWS_ONLY = ["d_fingerprint", "d_minhash_pairs", "d_simhash",
+             "e_lsh_buckets"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_produces_rows(name, ray_session):
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        EXTRA_QUERIES)
+    t = EXTRA_QUERIES[name](SF)
+    assert t.num_rows > 0
