@@ -355,6 +355,37 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     source = (read_transcripts(input_path)
               if isinstance(input_path, str) else input_path)
     cfg_hash = config.config_hash()
+
+    if not config.sample_traces:
+        # pass-through mode (processor.go:70-74): enriched turns are
+        # forwarded unchanged, no sampling, no routed classes; the
+        # latency histogram is still captured when enabled
+        passthrough = build_enriched(source, config,
+                                     enrich_concurrency=enrich_concurrency)
+        result = PipelineResult(routed=passthrough, winners=[],
+                                winner_map={})
+        if with_aggregates and config.capture_metrics:
+            decided_lite, _ = build_decided(
+                source, config, num_partitions=num_partitions,
+                enrich_concurrency=enrich_concurrency)
+            from asserts_otel_processor_ray.stages.topk import (
+                allowed_pairs_from_df as _apf, collect_df as _cdf)
+            ms = _cdf(decided_lite.map_batches(
+                metric_first_seen_fn(), batch_format="pyarrow",
+                batch_size=None))
+            metric_allowed = _apf(ms, "entity_key", "seg_request",
+                                  "seg_first_seen",
+                                  config.limit_per_service)
+            result.aggregates["latency_hist"] = latency_histogram(
+                decided_lite, config, metric_allowed)
+        if out_dir is not None:
+            import os
+            path = os.path.join(out_dir, "passthrough")
+            os.makedirs(path, exist_ok=True)
+            passthrough.write_parquet(path)
+            result.sink_paths["passthrough"] = path
+        return result
+
     decided = None
     if checkpoint_dir is not None:
         from asserts_otel_processor_ray.state.checkpoint import (

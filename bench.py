@@ -95,6 +95,11 @@ def main() -> None:
         # input than the per-round bench unless the caller overrides
         scaling_dir = os.environ.get("GRAFT_SCALING_SF_DIR",
                                      "/root/testdata/sf4")
+        # generate the input in the parent so neither timed child pays
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from asserts_otel_processor_ray.sources.synthetic import (
+            ensure_transcripts)
+        ensure_transcripts(scaling_dir)
         results = {}
         for cpus in (8, 32):
             proc = subprocess.run(
