@@ -69,7 +69,10 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     firsts = np.concatenate([[0], cum_l[:-1]])
     conv_ord = np.repeat(np.arange(n_convs), lengths)
     turn_idx = np.arange(total) - np.repeat(firsts, lengths)
-    conv_id = np.char.add("c", np.char.zfill(conv_ord.astype("U8"), 8))
+    # build ids per CONV then repeat (string kernels are ~µs/element)
+    conv_id_u = np.char.add("c", np.char.zfill(
+        np.arange(n_convs).astype("U8"), 8))
+    conv_id = np.repeat(conv_id_u, lengths)
 
     # Roles: turn 0 = user (root); later turns weighted.
     role_pick = rng.choice(["user", "assistant", "tool"], size=total,

@@ -101,9 +101,23 @@ class EnrichStage:
         # ";"-join; emit_null when any source missing = all-present gate
         joined = (cols[0] if len(cols) == 1
                   else pc.binary_join_element_wise(*cols, ";"))
-        matched = pc.match_substring_regex(joined, rule.regex)
-        value = pc.replace_substring_regex(joined, rule.regex,
-                                           rule.replacement_re2)
+        # log payloads repeat heavily: run the regex over DISTINCT
+        # joined values and scatter back (dictionary-style), which cuts
+        # regex work by the duplication factor
+        uniq = pc.unique(
+            joined.combine_chunks() if isinstance(joined, pa.ChunkedArray)
+            else joined)
+        if len(uniq) * 2 < batch.num_rows:
+            m_u = pc.match_substring_regex(uniq, rule.regex)
+            v_u = pc.replace_substring_regex(uniq, rule.regex,
+                                             rule.replacement_re2)
+            idx = pc.index_in(joined, uniq)
+            matched = pc.take(m_u, idx)
+            value = pc.take(v_u, idx)
+        else:
+            matched = pc.match_substring_regex(joined, rule.regex)
+            value = pc.replace_substring_regex(joined, rule.regex,
+                                               rule.replacement_re2)
         ok = pc.and_kleene(kind_ok, matched)
         ok = pc.and_kleene(ok, pc.not_equal(value, ""))  # empty = no match
         ok = pc.fill_null(ok, False)

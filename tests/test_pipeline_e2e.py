@@ -65,3 +65,24 @@ def test_query_matches_oracle(name, oracle, queries):
     assert set(a.columns) == set(b.columns)
     assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_enrich_actor_pool_path(ray_session):
+    """The enrich stage as an actor pool (concurrency) must produce the
+    same result as the task path."""
+    import ray.data
+    from asserts_otel_processor_ray.config import default_config
+    from asserts_otel_processor_ray.pipelines.pipeline import (
+        build_enriched, read_transcripts)
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+    path = ensure_transcripts(SF_DIR)
+    cfg = default_config()
+    a = build_enriched(read_transcripts(path), cfg)
+    b = build_enriched(read_transcripts(path), cfg,
+                       enrich_concurrency=(1, 2))
+    ta = a.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                   ignore_index=True)
+    tb = b.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                   ignore_index=True)
+    assert ta.equals(tb)
