@@ -63,6 +63,18 @@ from asserts_otel_processor_ray.stages.topk import (
 SINKS = ("error", "slow", "normal")
 
 
+def _heavy_scan_cpus() -> int:
+    """String-heavy scans hit allocator/bandwidth contention beyond ~16
+    concurrent tasks on one node; give them 2 CPUs per task on big
+    clusters (measured 3x on 32 CPUs, no effect at 8)."""
+    import ray as _ray
+    try:
+        ncpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpus = 8
+    return 2 if ncpus >= 16 else 1
+
+
 def _filter_col(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
     """Vectorized boolean-column filter (avoids per-row Dataset.filter)."""
     return ds.map_batches(lambda t, c=col: t.filter(t.column(c)),
@@ -134,6 +146,7 @@ def _edge_rows(t: pa.Table) -> pa.Table:
 def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
                   num_partitions: int | None = None,
                   enrich_concurrency=None,
+                  drop_intermediate: bool = False,
                   ) -> tuple["ray.data.Dataset", frozenset[str]]:
     """Everything up to per-trace decisions; returns (decided, allowed).
 
@@ -196,6 +209,7 @@ def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
     # NB: no repartition here — a row-balancing repartition could split
     # a conversation across blocks and break the per-batch decide pass.
     assembled = interior.materialize()
+    del interior, sorted_mat  # release the sorted blocks' store refs
 
     # cardinality cap (T3/T5 admission): pre-reduced per batch
     def seg_partial(t: pa.Table) -> pa.Table:
@@ -214,10 +228,29 @@ def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
         seg_rows, "entity_key", "seg_request", "seg_first_seen",
         config.limit_per_service)
 
+    stage_d = DecideStage(config, allowed)
+    if drop_intermediate:
+        def decide_fn(t: pa.Table) -> pa.Table:
+            out = stage_d(t)
+            keep = [c for c in out.schema.names
+                    if c not in _INTERMEDIATE_COLS]
+            return out.select(keep)
+    else:
+        decide_fn = stage_d
     decided = assembled.map_batches(
-        DecideStage(config, allowed), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=None).materialize()
+        decide_fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, num_cpus=_heavy_scan_cpus()).materialize()
     return decided, allowed
+
+
+# assembly/decide intermediates that no downstream consumer reads —
+# dropped from the materialized decided table on the perf path (the
+# correctness-query path keeps them for the oracle comparisons)
+_INTERMEDIATE_COLS = frozenset({
+    "is_root", "has_error", "latency_threshold_s", "seg_has_main",
+    "is_seg_main", "seg_request", "seg_latency", "is_error_turn",
+    "is_slow_turn", "turn_cand", "conv_arrival_us", "seg_first_seen",
+})
 
 
 def _winner_partials_fn(k: int):
@@ -282,7 +315,8 @@ def select_winners(decided: "ray.data.Dataset",
     from asserts_otel_processor_ray.stages.topk import collect_df, topk_df
     k = config.per_request_topk
     df = collect_df(decided.map_batches(
-        _winner_partials_fn(k), batch_format="pyarrow", batch_size=None))
+        _winner_partials_fn(k), batch_format="pyarrow", batch_size=None,
+        num_cpus=_heavy_scan_cpus()))
     if df.empty:
         return ([], []) if return_normal else []
 
@@ -398,7 +432,8 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     if decided is None:
         decided, _allowed = build_decided(
             source, config, num_partitions=num_partitions,
-            enrich_concurrency=enrich_concurrency)
+            enrich_concurrency=enrich_concurrency,
+            drop_intermediate=True)
         if checkpoint_dir is not None:
             checkpoint_dataset(decided, checkpoint_dir, "decided",
                                cfg_hash)
@@ -408,7 +443,7 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     def agg_scan():
         return collect_df(decided.map_batches(
             combined_partials_fn(config), batch_format="pyarrow",
-            batch_size=None))
+            batch_size=None, num_cpus=_heavy_scan_cpus()))
 
     if with_aggregates:
         with ThreadPoolExecutor(2) as ex:

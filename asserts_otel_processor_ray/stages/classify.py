@@ -105,13 +105,19 @@ def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     req_ctx = batch.column("asserts_request_context").to_numpy(
         zero_copy_only=False)
 
-    s = pd.Series(np.arange(n))
-    conv_s = pd.Series(conv)
-    grp = s.groupby(conv_s, sort=False)
+    INT_MAX = np.iinfo(np.int64).max
+
+    # conversations are contiguous in the (conv_id, turn_idx)-sorted
+    # batch → integer group index per row, no hashing on strings
+    changed = np.r_[True, conv[1:] != conv[:-1]]
+    gidx = (np.cumsum(changed) - 1).astype(np.int64)
+    starts = np.flatnonzero(changed)
+    lengths = np.diff(np.r_[starts, n])
 
     # M7 latency: next turn's ts − this turn's ts, seconds; last turn → 0
-    next_ts = pd.Series(ts_us).groupby(conv_s, sort=False).shift(-1)
-    latency = ((next_ts - ts_us) / US).fillna(0.0).to_numpy()
+    last_of_conv = np.r_[changed[1:], True]
+    nxt = np.r_[ts_us[1:], 0]
+    latency = np.where(last_of_conv, 0.0, (nxt - ts_us) / US)
 
     # span class: root < entry < exit < internal (trace.go:22-35)
     class_order = np.select(
@@ -120,75 +126,95 @@ def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
          np.isin(kind, ("Client", "Producer"))],
         [0, 1, 2], 3).astype(np.int8)
 
-    # segments keyed by (conv, ns, svc); order = first appearance in conv
+    # segments keyed by (conv, ns, svc) as INTEGER codes (service vocab
+    # is tiny; string keys were the memory hotspot at scale)
     ns = batch.column("namespace").to_numpy(zero_copy_only=False)
     svc = batch.column("service").to_numpy(zero_copy_only=False)
-    seg_df = pd.DataFrame({"conv": conv, "ns": ns, "svc": svc,
-                           "turn": turn, "row": np.arange(n)})
-    seg_key = (seg_df["conv"] + "\x00" + seg_df["ns"] + "\x00"
-               + seg_df["svc"])
-    seg_df["seg_key"] = seg_key
-    seg_first = seg_df.groupby("seg_key", sort=False)["turn"].transform("min")
-    # dense rank of seg_first within conv, fully vectorized via a
-    # small segment-level frame (segment min-turns are distinct per conv)
-    seg_level = pd.DataFrame({
-        "conv": conv, "seg_key": seg_key, "first": seg_first,
-    }).drop_duplicates("seg_key").sort_values(["conv", "first"])
-    seg_level["ord"] = seg_level.groupby("conv", sort=False).cumcount()
-    seg_order = seg_key.map(
-        seg_level.set_index("seg_key")["ord"]).to_numpy().astype(np.int32)
+    ns_codes = pd.factorize(ns)[0].astype(np.int64)
+    svc_codes = pd.factorize(svc)[0].astype(np.int64)
+    pair = ns_codes * 100_000 + svc_codes
+    seg_codes, _uniq = pd.factorize(gidx * 10_000_000_000 + pair)
+    S = len(_uniq)
+
+    seg_first_arr = np.full(S, INT_MAX, np.int64)
+    np.minimum.at(seg_first_arr, seg_codes, turn.astype(np.int64))
+    seg_conv = np.zeros(S, np.int64)
+    seg_conv[seg_codes] = gidx
+
+    # seg_order: dense rank of first-appearance turn within conv
+    o = np.lexsort((seg_first_arr, seg_conv))
+    sc = seg_conv[o]
+    st = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+    pos = np.arange(S, dtype=np.int64)
+    within_seg = pos - np.repeat(pos[st], np.diff(np.r_[st, S]))
+    rank = np.empty(S, np.int64)
+    rank[o] = within_seg
+    seg_order = rank[seg_codes].astype(np.int32)
 
     # segment main span: first of [root]+entry+exit by (class, turn)
     ni_mask = class_order < 3
-    main_rank = class_order.astype(np.int64) * 10_000_000 + turn
-    mr = pd.Series(np.where(ni_mask, main_rank, np.iinfo(np.int64).max))
-    seg_min = mr.groupby(seg_key, sort=False).transform("min")
-    seg_has_main = (seg_min != np.iinfo(np.int64).max).to_numpy()
-    is_seg_main = (mr == seg_min).to_numpy() & ni_mask
+    mr = np.where(ni_mask,
+                  class_order.astype(np.int64) * 10_000_000 + turn,
+                  INT_MAX)
+    seg_min = np.full(S, INT_MAX, np.int64)
+    np.minimum.at(seg_min, seg_codes, mr)
+    seg_has_main = seg_min[seg_codes] != INT_MAX
+    is_seg_main = (mr == seg_min[seg_codes]) & ni_mask
 
     # segment latency / request from the main span (sampler.go:184-193)
     main_rows = np.flatnonzero(is_seg_main)
-    req_filled = pd.Series(req_ctx).fillna("").to_numpy()
-    seg_req_map = pd.Series(req_filled[main_rows],
-                            index=seg_key.iloc[main_rows])
-    seg_request = seg_key.map(seg_req_map).fillna("").to_numpy()
-    seg_lat_map = pd.Series(latency[main_rows],
-                            index=seg_key.iloc[main_rows])
-    seg_latency = seg_key.map(seg_lat_map).fillna(0.0).to_numpy()
+    req_filled = np.where(pd.isna(req_ctx), "", req_ctx)
+    seg_req_arr = np.full(S, "", dtype=object)
+    seg_req_arr[seg_codes[main_rows]] = req_filled[main_rows]
+    seg_lat_arr = np.zeros(S, np.float64)
+    seg_lat_arr[seg_codes[main_rows]] = latency[main_rows]
+    seg_request = seg_req_arr[seg_codes]
+    seg_latency = seg_lat_arr[seg_codes]
 
     # per-turn predicates (sampler.go:81-110); only non-internal spans
     # are examined
     ignore_client = config.ignore_client_errors
     err_eff = has_error & ~(
-        ignore_client & (pd.Series(err_type).fillna("") == "client_errors")
-    ).to_numpy()
+        ignore_client & (np.where(pd.isna(err_type), "", err_type)
+                         == "client_errors"))
     is_error_turn = err_eff & ni_mask
     is_slow_turn = (latency > thr) & ni_mask
     turn_cand = np.where(is_error_turn, "error",
                          np.where(is_slow_turn & ~is_error_turn, "slow",
                                   None))
 
-    conv_arrival = pd.Series(ts_us).groupby(conv_s, sort=False).transform(
-        "min").to_numpy()
-    conv_u = conv.astype("U")
-    arrival_key = np.char.add(np.char.add(_pad20(conv_arrival), "|"), conv_u)
-    seg_first_seen = np.where(
-        is_seg_main,
-        np.char.add(np.char.add(arrival_key, "|"),
-                    np.char.zfill(seg_order.astype("U5"), 5)),
+    conv_min = np.minimum.reduceat(ts_us, starts)
+    conv_arrival = np.repeat(conv_min, lengths)
+
+    # packed keys via Arrow kernels (np.char costs µs/element)
+    arr_key_a = pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.cast(pa.array(conv_arrival), pa.string()),
+                     20, "0"),
+        batch.column("conv_id").combine_chunks()
+        if isinstance(batch.column("conv_id"), pa.ChunkedArray)
+        else batch.column("conv_id"),
+        "|")
+    sfs_a = pc.if_else(
+        pa.array(is_seg_main),
+        pc.binary_join_element_wise(
+            arr_key_a,
+            pc.utf8_lpad(pc.cast(pa.array(seg_order.astype(np.int64)),
+                                 pa.string()), 5, "0"),
+            "|"),
         "")
 
     # scan order: (conv, seg_order, class_order, turn) — also the routed
     # emit order (non-internal then internal per segment, utils.go:109-126)
-    order = np.lexsort((turn, class_order, seg_order, conv))
+    order = np.lexsort((turn, class_order, seg_order, gidx))
     scan_rank = np.empty(n, dtype=np.int32)
     scan_pos = np.arange(n, dtype=np.int64)
-    # rank within conv after the global lexsort
-    conv_sorted = conv[order]
-    starts = np.r_[0, np.flatnonzero(conv_sorted[1:] != conv_sorted[:-1]) + 1]
-    within = scan_pos - np.repeat(scan_pos[starts],
-                                  np.diff(np.r_[starts, n]))
+    gs = gidx[order]
+    g_starts = np.r_[0, np.flatnonzero(gs[1:] != gs[:-1]) + 1]
+    within = scan_pos - np.repeat(scan_pos[g_starts],
+                                  np.diff(np.r_[g_starts, n]))
     scan_rank[order] = within.astype(np.int32)
+    arrival_key = arr_key_a
+    seg_first_seen = sfs_a
 
     out = batch
     for name, arr, typ in [
@@ -207,7 +233,9 @@ def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
         ("arrival_key", arrival_key, pa.string()),
         ("seg_first_seen", seg_first_seen, pa.string()),
     ]:
-        out = out.append_column(name, pa.array(arr, typ))
+        col = (arr if isinstance(arr, (pa.Array, pa.ChunkedArray))
+               else pa.array(arr, typ))
+        out = out.append_column(name, col)
     # emit in scan order so downstream blocks are routed-output-ordered
     return out.take(pa.array(order))
 

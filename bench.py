@@ -27,8 +27,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def run_once(sf_dir: str, num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
+    # default object store (42.9% of RAM) spills at larger scale
+    # factors with <12 MB/s write throughput; give it 55% instead
+    try:
+        import psutil
+        store = int(psutil.virtual_memory().total * 0.55)
+    except Exception:
+        store = 64 * 1024 ** 3
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", object_store_memory=store)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
