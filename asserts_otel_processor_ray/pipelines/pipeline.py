@@ -307,19 +307,13 @@ def _winner_partials_fn(k: int):
     return fn
 
 
-def select_winners(decided: "ray.data.Dataset",
-                   config: PipelineConfig,
-                   return_normal: bool = False):
-    """Error/slow queue items + periodic normal winners → top-K flush
-    set.  One scan of the turn table, bounded driver merge."""
-    from asserts_otel_processor_ray.stages.topk import collect_df, topk_df
+def _finish_winners(df: pd.DataFrame, config: PipelineConfig,
+                    return_normal: bool = False):
+    """Driver-side final of the flush set from kind-tagged partials."""
+    from asserts_otel_processor_ray.stages.topk import topk_df
     k = config.per_request_topk
-    df = collect_df(decided.map_batches(
-        _winner_partials_fn(k), batch_format="pyarrow", batch_size=None,
-        num_cpus=_heavy_scan_cpus()))
     if df.empty:
         return ([], []) if return_normal else []
-
     nc = df[df["kind"] == "ncand"]
     normal_rows: list[dict] = []
     if not nc.empty:
@@ -336,11 +330,25 @@ def select_winners(decided: "ray.data.Dataset",
     else:
         items = df[df["kind"] == "item"]
     winners_df = topk_df(items, k)
-    winners = winners_df.drop(columns=["kind", "bucket"]).to_dict(
-        "records")
+    winners = winners_df[["conv_id", "entity", "request", "qtype",
+                          "sample_type", "latency",
+                          "arrival_key"]].to_dict("records")
     if return_normal:
         return winners, normal_rows
     return winners
+
+
+def select_winners(decided: "ray.data.Dataset",
+                   config: PipelineConfig,
+                   return_normal: bool = False):
+    """Error/slow queue items + periodic normal winners → top-K flush
+    set.  One scan of the turn table, bounded driver merge."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    df = collect_df(decided.map_batches(
+        _winner_partials_fn(config.per_request_topk),
+        batch_format="pyarrow", batch_size=None,
+        num_cpus=_heavy_scan_cpus()))
+    return _finish_winners(df, config, return_normal)
 
 
 def build_routed(source: "ray.data.Dataset",
