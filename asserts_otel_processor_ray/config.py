@@ -30,7 +30,7 @@ from asserts_otel_processor_ray.functions.regex import (
 # Default latency histogram buckets (assertsprocessor/factory.go:38).
 DEFAULT_LATENCY_BUCKETS = [
     0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
-    5.0, 10.0, 20.0, 30.0, 60.0, 120.0,
+    5.0, 10.0, 30.0, 60.0, 90.0, 120.0,
 ]
 
 
@@ -190,6 +190,15 @@ class PipelineConfig:
         shape (span_attributes takes precedence when non-empty,
         span_enrichment.go:43-49)."""
         cfg = PipelineConfig()
+        # Reference mapstructure key aliases (config.go:20-34) so a
+        # collector-style YAML loads with its values honored rather than
+        # silently falling back to defaults.
+        aliases = {
+            "asserts_env": "env",
+            "asserts_site": "site",
+            "normal_trace_sampling_rate_minutes": "normal_sampling_rate_minutes",
+        }
+        d = {aliases.get(k, k): v for k, v in d.items()}
         simple = [
             "env", "site", "attributes_as_metric_labels",
             "sampling_latency_threshold_seconds", "latency_histogram_buckets",

@@ -430,7 +430,8 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
       {extra_hrows}
       {le_case} AS le, latency_s
     FROM mrows)
-  SELECT {hist_labels}, le,
+  SELECT '{config.env}' AS asserts_env, '{config.site}' AS asserts_site,
+    {hist_labels}, le,
     count(*) AS bucket_count, sum(latency_s) AS latency_sum,
     count(latency_s) AS latency_count
   FROM hrows GROUP BY {hist_labels}, le"""),

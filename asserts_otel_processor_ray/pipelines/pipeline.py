@@ -396,7 +396,12 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
 
     source = (read_transcripts(input_path)
               if isinstance(input_path, str) else input_path)
-    cfg_hash = config.config_hash()
+    # lineage key = config hash + input identity: a rerun with the same
+    # config against different data must not serve stale checkpoints
+    from asserts_otel_processor_ray.state.checkpoint import (
+        input_fingerprint)
+    cfg_hash = (config.config_hash() + "-"
+                + input_fingerprint(input_path))
 
     if not config.sample_traces:
         # pass-through mode (processor.go:70-74): enriched turns are

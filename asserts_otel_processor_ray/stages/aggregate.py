@@ -294,7 +294,9 @@ def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
                           batch_format="pyarrow", batch_size=None)
     df = collect_df(part)
     if df.empty:
-        cols = {k: pa.array([], pa.string()) for k in keys[:-1]}
+        cols = {"asserts_env": pa.array([], pa.string()),
+                "asserts_site": pa.array([], pa.string())}
+        cols.update({k: pa.array([], pa.string()) for k in keys[:-1]})
         cols["le"] = pa.array([], pa.float64())
         cols["bucket_count"] = pa.array([], pa.int64())
         cols["latency_sum"] = pa.array([], pa.float64())
@@ -304,4 +306,8 @@ def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
         bucket_count=("bucket_count", "sum"),
         latency_sum=("latency_sum", "sum"),
         latency_count=("latency_count", "sum")).reset_index()
+    # every histogram series carries the env/site labels like the other
+    # aggregate tables (metric_helper.go buildLabels: envLabel/siteLabel)
+    out.insert(0, "asserts_site", config.site)
+    out.insert(0, "asserts_env", config.env)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -130,10 +130,21 @@ def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     # is tiny; string keys were the memory hotspot at scale)
     ns = batch.column("namespace").to_numpy(zero_copy_only=False)
     svc = batch.column("service").to_numpy(zero_copy_only=False)
-    ns_codes = pd.factorize(ns)[0].astype(np.int64)
-    svc_codes = pd.factorize(svc)[0].astype(np.int64)
-    pair = ns_codes * 100_000 + svc_codes
-    seg_codes, _uniq = pd.factorize(gidx * 10_000_000_000 + pair)
+    ns_codes, ns_uniq = pd.factorize(ns)
+    svc_codes, svc_uniq = pd.factorize(svc)
+    ns_codes = ns_codes.astype(np.int64)
+    svc_codes = svc_codes.astype(np.int64)
+    # multipliers sized to the block's actual vocab (no fixed 100k
+    # assumption); fall back to tuple factorize on int64 overflow risk
+    pair_mult = max(len(svc_uniq), 1)
+    seg_mult = max(len(ns_uniq), 1) * pair_mult
+    if int(gidx[-1]) + 1 < INT_MAX // max(seg_mult, 1) - 1:
+        pair = ns_codes * pair_mult + svc_codes
+        seg_codes, _uniq = pd.factorize(gidx * seg_mult + pair)
+    else:
+        seg_codes, _uniq = pd.factorize(
+            pd.MultiIndex.from_arrays([gidx, ns_codes, svc_codes]))
+    seg_codes = seg_codes.astype(np.int64)
     S = len(_uniq)
 
     seg_first_arr = np.full(S, INT_MAX, np.int64)
@@ -151,10 +162,12 @@ def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     rank[o] = within_seg
     seg_order = rank[seg_codes].astype(np.int32)
 
-    # segment main span: first of [root]+entry+exit by (class, turn)
+    # segment main span: first of [root]+entry+exit by (class, turn);
+    # multiplier sized to the block's max turn_idx (no fixed 10M cap)
     ni_mask = class_order < 3
+    t_mult = int(turn.max()) + 1
     mr = np.where(ni_mask,
-                  class_order.astype(np.int64) * 10_000_000 + turn,
+                  class_order.astype(np.int64) * t_mult + turn,
                   INT_MAX)
     seg_min = np.full(S, INT_MAX, np.int64)
     np.minimum.at(seg_min, seg_codes, mr)

@@ -80,6 +80,34 @@ def stage_dir(root: str, stage: str) -> str:
     return os.path.join(root, stage)
 
 
+def input_fingerprint(source) -> str:
+    """Digest of the input's identity (file paths + size + mtime) so a
+    checkpoint keyed on config alone cannot serve stale output when the
+    same config is rerun against different data.  Accepts a path (file
+    or directory of parquet) or a Dataset (uses its input_files())."""
+    import hashlib
+
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            files = sorted(glob.glob(
+                os.path.join(source, "**", "*.parquet"), recursive=True))
+        else:
+            files = [source]
+    else:
+        try:
+            files = sorted(source.input_files())
+        except Exception:
+            return "ds"
+    h = hashlib.sha256()
+    for f in files:
+        try:
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+        except OSError:
+            h.update(f"{f}|?\n".encode())
+    return h.hexdigest()[:12]
+
+
 def checkpoint_dataset(ds: "ray.data.Dataset", root: str, stage: str,
                        config_hash: str,
                        lineage: Lineage | None = None) -> str:

@@ -66,9 +66,29 @@ def test_pipeline_resume(tmp_root, ray_session):
                       with_aggregates=False)
     assert r1.winner_map == r2.winner_map
     assert sorted(r1.sink_paths) == sorted(r2.sink_paths)
-    # the decided checkpoint is marked complete with per-file lineage
-    from asserts_otel_processor_ray.state.checkpoint import Lineage
+    # the decided checkpoint is marked complete with per-file lineage,
+    # keyed on config hash + input identity
+    from asserts_otel_processor_ray.state.checkpoint import (
+        Lineage, input_fingerprint)
     lin = Lineage(ck)
-    h = cfg.config_hash()
+    h = cfg.config_hash() + "-" + input_fingerprint(path)
     assert lin.stage_complete("decided", h)
     assert len(lin.partitions("decided", h)) >= 1
+
+
+def test_input_fingerprint_tracks_data_identity(tmp_path):
+    """Same config + different input data must produce a different
+    lineage key (ADVICE r1: stale-checkpoint hazard)."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.state.checkpoint import (
+        input_fingerprint)
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2]}), d / "p0.parquet")
+    f1 = input_fingerprint(str(d))
+    assert f1 == input_fingerprint(str(d))  # stable
+    pq.write_table(pa.table({"a": [1, 2, 3]}), d / "p0.parquet")
+    f2 = input_fingerprint(str(d))
+    assert f1 != f2  # rewritten file → new identity
+    pq.write_table(pa.table({"a": [9]}), d / "p1.parquet")
+    assert input_fingerprint(str(d)) != f2  # added file → new identity

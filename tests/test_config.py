@@ -107,6 +107,26 @@ def test_from_dict_custom_attributes_shape():
     assert cfg.custom_attributes["t"]["svc"][0].regex == "x"
 
 
+def test_default_buckets_match_reference():
+    # assertsprocessor/factory.go:38 — pinned verbatim
+    from asserts_otel_processor_ray.config import DEFAULT_LATENCY_BUCKETS
+    assert DEFAULT_LATENCY_BUCKETS == [
+        0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1, 2.5,
+        5, 10, 30, 60, 90, 120]
+
+
+def test_from_dict_reference_mapstructure_aliases():
+    # config.go:20-34 key names load into the same fields
+    cfg = PipelineConfig.from_dict({
+        "asserts_env": "prod",
+        "asserts_site": "eu-1",
+        "normal_trace_sampling_rate_minutes": 9,
+    })
+    assert cfg.env == "prod"
+    assert cfg.site == "eu-1"
+    assert cfg.normal_sampling_rate_minutes == 9
+
+
 def test_default_config_valid_and_hashable():
     cfg = default_config()
     cfg.validate()
