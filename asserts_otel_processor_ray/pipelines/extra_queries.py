@@ -43,13 +43,18 @@ def _emb(sf_dir: str) -> "ray.data.Dataset":
 # ---- text analysis -------------------------------------------------------
 
 def q_exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup: per-batch partial (min doc_id + count per normalized
+    text), then a DISTRIBUTED groupby final — distinct-text cardinality
+    never lands on the driver (only the query's result table does)."""
+    from ray.data.aggregate import Min, Sum
     part = _docs(sf_dir).map_batches(T.exact_dedup_partial,
                                      batch_format="pyarrow")
-    df = collect_df(part)
-    out = df.groupby("text_norm", sort=False).agg(
-        doc_id=("doc_id", "min"),
-        dup_count=("dup_count", "sum")).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    agg = part.groupby("text_norm").aggregate(Min("doc_id"),
+                                              Sum("dup_count"))
+    df = collect_df(agg).rename(columns={"min(doc_id)": "doc_id",
+                                         "sum(dup_count)": "dup_count"})
+    return pa.Table.from_pandas(
+        df[["text_norm", "doc_id", "dup_count"]], preserve_index=False)
 
 
 def q_token_stats(sf_dir: str) -> pa.Table:
@@ -76,42 +81,84 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(part), preserve_index=False)
 
 
+def _doc_token_long(tbl: pa.Table) -> pd.DataFrame:
+    """(doc_id, token) long frame, deduped per doc."""
+    toks = T._tokens_series(tbl.column("text"))
+    ids = tbl.column("doc_id").to_numpy()
+    ex = toks.explode()
+    df = pd.DataFrame({"doc_id": ids[ex.index.to_numpy()],
+                       "token": ex.to_numpy()})
+    return df.drop_duplicates()
+
+
+class _TokenJaccardStage:
+    """Actor-pool stage: each batch's docs against the broadcast token
+    table of the bounded query subset — intersections via a vectorized
+    merge, never a per-pair Python loop."""
+
+    def __init__(self, ref):
+        import ray as _ray
+        d = _ray.get(ref)
+        self.long = d["long"]
+        self.sizes = d["sizes"]          # doc_id -> distinct tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.less(batch.column("doc_id"), 150))
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        mine = _doc_token_long(batch)
+        m = mine.merge(self.long, on="token")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return empty
+        inter = (m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+                 .size().reset_index(name="inter"))
+        sa = inter["doc_id_x"].map(self.sizes).to_numpy()
+        sb = inter["doc_id_y"].map(self.sizes).to_numpy()
+        union = sa + sb - inter["inter"].to_numpy()
+        jac = inter["inter"].to_numpy() / union.astype(np.float64)
+        keep = jac >= 0.5
+        return pa.table({
+            "doc_a": pa.array(inter["doc_id_x"].to_numpy()[keep],
+                              pa.int64()),
+            "doc_b": pa.array(inter["doc_id_y"].to_numpy()[keep],
+                              pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+
 def q_token_jaccard(sf_dir: str) -> pa.Table:
     """Exact token-set Jaccard for all doc pairs with doc_id < 150 and
-    jaccard ≥ 0.5 (the brute-force baseline the LSH path approximates)."""
+    jaccard ≥ 0.5 (the brute-force baseline the LSH path approximates).
+    Distributed: the bounded query subset's token table broadcasts once
+    (ray.put) and each batch joins against it vectorized."""
     tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"])
     tbl = tbl.filter(pa.compute.less(tbl.column("doc_id"), 150))
-    toks = T._tokens_series(tbl.column("text"))
-    ids = tbl.column("doc_id").to_numpy()
-    sets = [frozenset(t) for t in toks]
-    rows = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            inter = len(sets[i] & sets[j])
-            union = len(sets[i]) + len(sets[j]) - inter
-            jac = float(inter) / float(union) if union else 0.0
-            if jac >= 0.5:
-                rows.append((int(ids[i]), int(ids[j]), jac))
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-    })
+    long = _doc_token_long(tbl)
+    sizes = long.groupby("doc_id").size()
+    ref = ray.put({"long": long, "sizes": sizes})
+    part = _docs(sf_dir).map_batches(
+        _TokenJaccardStage, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 4))
+    df = collect_df(part)
+    if df.empty:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ---- near-dup (rows-only: signature/hash operators) ----------------------
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
-    sigs = collect_df(_docs(sf_dir).map_batches(
-        D.minhash_signatures_batch, batch_format="pyarrow"))
-    banded = D.lsh_band_keys(sigs)
-    cand = D.candidate_pairs(banded)
-    shingles: dict[int, frozenset] = {}
-    for t in ray.get(_docs(sf_dir).to_arrow_refs()):
-        if t.num_rows:
-            shingles.update(D.shingle_sets(t))
-    verified = D.jaccard_verify(cand, shingles, threshold=0.5)
+    """MinHash+LSH near-dup pairs via the distributed
+    band-groupby-verify pipeline (no whole-corpus driver structure)."""
+    verified = D.minhash_pairs_distributed(_docs(sf_dir), threshold=0.5)
     return pa.Table.from_pandas(verified, preserve_index=False)
 
 
@@ -121,21 +168,34 @@ def q_simhash(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(part), preserve_index=False)
 
 
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs via the distributed chunk-band groupby."""
+    pairs = D.simhash_pairs_distributed(_docs(sf_dir), max_hamming=3)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:
-    pairs = S.near_dup_pairs_exact(_emb(sf_dir), threshold=0.45)
+    """Embedding-cosine near-dup pairs via the DISTRIBUTED banded-LSH
+    groupby path (primary at scale; near_dup_pairs_exact is the
+    test-only exact oracle of its recall)."""
+    ds = _emb(sf_dir)
+    dim = len(ds.take(1)[0]["embedding"])
+    pairs = S.embedding_near_dup(ds, threshold=0.45, dim=dim)
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 def q_lsh_buckets(sf_dir: str) -> pa.Table:
     """Scale path for near-dup/ANN: hyperplane-LSH bucket histogram
-    (rows-only; buckets are deterministic given the seeded planes)."""
+    (rows-only; buckets are deterministic given the seeded planes).
+    The count is a distributed Ray groupby."""
     ds = _emb(sf_dir)
     dim = len(ds.take(1)[0]["embedding"])
-    sigs = collect_df(ds.map_batches(S.HyperplaneLSH(dim),
-                                     batch_format="pyarrow"))
-    out = (sigs.groupby("bucket").size().reset_index(name="n_vectors")
+    sig = ds.map_batches(S.HyperplaneLSH(dim), batch_format="pyarrow")
+    df = collect_df(sig.groupby("bucket").count())
+    out = (df.rename(columns={"count()": "n_vectors"})
            .sort_values("bucket").reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out[["bucket", "n_vectors"]],
+                                preserve_index=False)
 
 
 # ---- similarity search ---------------------------------------------------
@@ -202,11 +262,14 @@ def q_sessionize(sf_dir: str) -> pa.Table:
 
 
 def q_window_dedup(sf_dir: str) -> pa.Table:
+    """First event per (user, 5-min bucket): per-batch partial idxmin,
+    then a DISTRIBUTED groupby-min final (the driver only receives the
+    result table, not O(users × buckets) partials)."""
+    from ray.data.aggregate import Min
     part = _events(sf_dir).map_batches(E.window_dedup_partial,
                                        batch_format="pyarrow")
-    df = collect_df(part)
-    idx = df.groupby(["user_id", "bucket"], sort=False)["pick"].idxmin()
-    out = df.loc[idx].copy()
+    agg = part.groupby(["user_id", "bucket"]).aggregate(Min("pick"))
+    out = collect_df(agg).rename(columns={"min(pick)": "pick"})
     out["event_id"] = out["pick"].str.slice(21).astype(np.int64)
     out = out[["user_id", "bucket", "event_id"]]
     return pa.Table.from_pandas(out.reset_index(drop=True),
@@ -251,6 +314,7 @@ EXTRA_QUERIES = {
     "d_token_jaccard": q_token_jaccard,
     "d_minhash_pairs": q_minhash_pairs,
     "d_simhash": q_simhash,
+    "d_simhash_pairs": q_simhash_pairs,
     "e_ann_topk": q_ann_topk,
     "e_knn_label": q_knn_label,
     "e_embedding_near_dup": q_embedding_near_dup,
@@ -324,6 +388,77 @@ SELECT *,
     AS quality_score
 FROM ratios""",
     "d_langid": _langid_sql(),
+    # token hash = first 8 bytes of md5, big-endian, mod 2^61-1 —
+    # reproducible in SQL via hex-prefix cast (validated byte-for-byte
+    # against text_analysis.token_hashes)
+    "d_fingerprint": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+hsh AS (
+  SELECT doc_id,
+    [CAST(CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)
+          % 2305843009213693951 AS HUGEINT) FOR x IN t] AS h
+  FROM toks),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) < 3
+      THEN [list_reduce(h, (a, b) -> (a * 1000003 + b)
+                               % 2305843009213693951)]
+      ELSE [((((h[i] * 1000003 + h[i+1]) % 2305843009213693951)
+              * 1000003 + h[i+2]) % 2305843009213693951)
+            FOR i IN generate_series(1, len(h) - 2)]
+    END AS s
+  FROM hsh)
+SELECT doc_id, printf('%016x', CAST(list_min(s) AS BIGINT)) AS fingerprint
+FROM sh""",
+    # SimHash near-dup pairs: 4×16-bit chunk banding + exact hamming,
+    # the SQL mirror of dedup.simhash_pairs_distributed
+    "d_simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+hsh AS (
+  SELECT doc_id,
+    [CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)
+     % 2305843009213693951 FOR x IN t] AS h,
+    len(t) AS n
+  FROM toks),
+s AS (
+  SELECT doc_id, CAST(list_sum(
+    [CASE WHEN 2 * list_sum([CAST((x >> b) & 1 AS BIGINT) FOR x IN h]) > n
+          THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END
+     FOR b IN generate_series(0, 63)]) AS BIGINT) AS v
+  FROM hsh),
+b AS (
+  SELECT doc_id, v, i AS band, (v >> (16*i)) & 65535 AS chunk
+  FROM s, generate_series(0, 3) AS g(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+    a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.band = c.band AND a.chunk = c.chunk
+   AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(va, vb)) <= 3""",
+    # 64-bit SimHash: per-bit majority vote over the same md5 token
+    # hashes (bits 61-63 of a mod-2^61-1 hash are always 0, so the
+    # result fits BIGINT)
+    "d_simhash": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+hsh AS (
+  SELECT doc_id,
+    [CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)
+     % 2305843009213693951 FOR x IN t] AS h,
+    len(t) AS n
+  FROM toks)
+SELECT doc_id,
+  printf('%016x', CAST(list_sum(
+    [CASE WHEN 2 * list_sum([CAST((x >> b) & 1 AS BIGINT) FOR x IN h]) > n
+          THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END
+     FOR b IN generate_series(0, 63)]) AS BIGINT)) AS simhash
+FROM hsh""",
     "d_token_jaccard": """
 WITH s AS (
   SELECT doc_id,

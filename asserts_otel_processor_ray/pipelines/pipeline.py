@@ -37,10 +37,8 @@ from asserts_otel_processor_ray.config import PipelineConfig
 from asserts_otel_processor_ray.schema import TRANSCRIPT_SCHEMA
 from asserts_otel_processor_ray.stages.aggregate import (
     latency_histogram,
-    metric_first_seen_fn,
     sampled_trace_counts,
     span_counts,
-    trace_counts,
 )
 from asserts_otel_processor_ray.stages.classify import (
     AssembleStage,
@@ -53,12 +51,7 @@ from asserts_otel_processor_ray.stages.route import (
     RouteJoinStage,
     winner_rows_table,
 )
-from asserts_otel_processor_ray.stages.topk import (
-    PAIR_SEP,
-    compute_allowed_pairs,
-    periodic_normal_winners,
-    topk_items,
-)
+from asserts_otel_processor_ray.stages.topk import PAIR_SEP
 
 SINKS = ("error", "slow", "normal")
 
@@ -91,27 +84,41 @@ class PipelineResult:
     sink_paths: dict[str, str] = field(default_factory=dict)
 
 
-def read_transcripts(path: str) -> "ray.data.Dataset":
-    """Column-pruned parquet read of the transcript table."""
-    return ray.data.read_parquet(path, columns=TRANSCRIPT_SCHEMA.names)
+def read_transcripts(path: str,
+                     num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Column-pruned parquet read of the transcript table.
+
+    ``num_blocks`` caps read fragmentation: without it the read splits
+    per row-group (~32k rows), every downstream op pays per-task
+    overhead × blocks, and the per-block partial reductions multiply
+    (measured: the sf1 sort phase halves at 2×CPU blocks)."""
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
+    return ray.data.read_parquet(path, columns=TRANSCRIPT_SCHEMA.names,
+                                 **kwargs)
 
 
 def build_enriched(ds: "ray.data.Dataset", config: PipelineConfig, *,
                    enrich_concurrency=None) -> "ray.data.Dataset":
+    # batch_size=None: one whole block per call — the arrow kernels
+    # want the biggest batches the blocks allow
     parse = ParseStage(config)
     parsed = ds.map_batches(parse, batch_format="pyarrow",
-                            zero_copy_batch=True)
+                            zero_copy_batch=True, batch_size=None)
     kwargs = {}
     if enrich_concurrency is not None:
         kwargs["concurrency"] = enrich_concurrency
         enriched = parsed.map_batches(
             EnrichStage, fn_constructor_args=(config,),
-            batch_format="pyarrow", zero_copy_batch=True, **kwargs)
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None, **kwargs)
     else:
         # task-based fallback: EnrichStage built per task via closure
         stage = EnrichStage(config)
         enriched = parsed.map_batches(stage, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+                                      zero_copy_batch=True,
+                                      batch_size=None)
     return enriched
 
 
@@ -131,35 +138,92 @@ def slim_columns(names: list[str], config: PipelineConfig) -> list[str]:
     return keep
 
 
-def _edge_rows(t: pa.Table) -> pa.Table:
-    """Rows of a sorted block's first and last conversation — the only
-    conversations that can straddle a block boundary."""
+@dataclass
+class DecidedBuild:
+    """Output of build_decided_ex: the decided (or, with
+    with_decide=False, assembled) turn table plus the small partial
+    reductions drained from the assemble pass's collector."""
+    decided: "ray.data.Dataset"
+    allowed: frozenset[str]
+    counts_df: "pd.DataFrame | None" = None   # kind-tagged tcount/scount
+    mseen_df: "pd.DataFrame | None" = None    # metric-cap first-seen pairs
+
+
+def _seg_cap_partial(t: pa.Table, limit: int) -> pa.Table:
+    """Per-block partial for the admission cap (T3/T5): min first-seen
+    per (entity, request), then per-entity first `limit` by first-seen.
+    The pre-cap is exact: a globally-admitted pair attains its global
+    min first-seen in some block, and in that block fewer than `limit`
+    pairs can precede it, so it survives that block's local cap — the
+    driver merge is bounded by blocks × entities × limit."""
+    t = t.filter(t.column("is_seg_main"))
+    t = t.select(["entity_key", "seg_request", "seg_first_seen"])
     if t.num_rows == 0:
         return t
-    conv = t.column("conv_id")
-    first, last = conv[0], conv[t.num_rows - 1]
-    mask = pa.compute.or_(pa.compute.equal(conv, first),
-                          pa.compute.equal(conv, last))
-    return t.filter(mask)
+    gb = t.group_by(["entity_key", "seg_request"]).aggregate(
+        [("seg_first_seen", "min")])
+    gb = gb.rename_columns(
+        ["entity_key", "seg_request", "seg_first_seen"])
+    df = gb.to_pandas().sort_values("seg_first_seen", kind="mergesort")
+    df = df.groupby("entity_key", sort=False).head(limit)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
-                  num_partitions: int | None = None,
-                  enrich_concurrency=None,
-                  drop_intermediate: bool = False,
-                  ) -> tuple["ray.data.Dataset", frozenset[str]]:
-    """Everything up to per-trace decisions; returns (decided, allowed).
+def _count_partials_tbl(t: pa.Table) -> pa.Table:
+    """A1/A3 partials from an assembled block: trace count (rows with
+    scan_rank 0 ≡ one per conversation) and per-(ns, svc) span counts."""
+    import pyarrow.compute as pc
+    n_traces = pc.sum(pc.equal(t.column("scan_rank"), 0)).as_py() or 0
+    sc = t.select(["namespace", "service"]).group_by(
+        ["namespace", "service"]).aggregate([([], "count_all")])
+    sdf = sc.rename_columns(
+        ["namespace", "service", "partial_count"]).to_pandas()
+    sdf.insert(0, "kind", "scount")
+    tdf = pd.DataFrame({"kind": ["tcount"], "namespace": [""],
+                        "service": [""], "partial_count": [n_traces]})
+    return pa.Table.from_pandas(pd.concat([tdf, sdf], ignore_index=True),
+                                preserve_index=False)
+
+
+def _tbls_to_df(tbls: list[pa.Table]) -> pd.DataFrame:
+    tbls = [t for t in tbls if t.num_rows > 0]
+    if not tbls:
+        return pd.DataFrame()
+    return pa.concat_tables(tbls,
+                            promote_options="permissive").to_pandas()
+
+
+def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
+                     num_partitions: int | None = None,
+                     enrich_concurrency=None,
+                     drop_intermediate: bool = False,
+                     with_decide: bool = True,
+                     collect_agg: bool = False,
+                     already_enriched: bool = False) -> DecidedBuild:
+    """Everything up to per-trace decisions.
 
     Partitioning: the only full-data exchange is a sort on
     (conv_id, turn_idx) — Ray's range-partitioning sort is several times
     cheaper than its hash-shuffle repartition on this payload, and the
-    north rule wants the stable turn ordering anyway.  A sorted block
-    holds whole conversations except its first/last conv, which may
-    straddle the boundary; those boundary conversations (≤ 2 per block)
-    are assembled in a single side pass, so per-conversation semantics
-    stay exact without any hash shuffle.
+    north rule wants the stable turn ordering anyway.
+
+    Pass discipline (the scaling story): the assemble scan is the ONLY
+    read of the sorted table and the decide scan the ONLY read of the
+    assembled table.  A sorted block's first/last conversations are
+    exactly the boundary-straddling conversations it contains, so each
+    block splits itself: edge rows and the kilobyte-size partial
+    reductions (admission cap, metric cap, A1/A3 counts) ride a
+    side-channel collector actor instead of their own full-table scans.
     """
     import ray as _ray
+
+    from asserts_otel_processor_ray.stages.aggregate import (
+        metric_first_seen_fn)
+    from asserts_otel_processor_ray.state.collector import (
+        BlockPartialCollector, block_key)
+    from asserts_otel_processor_ray.stages.topk import (
+        allowed_pairs_from_df)
+
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
         num_partitions = max(8, ncpus * 2)
@@ -170,63 +234,78 @@ def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
             setattr(ds.context, attr, num_partitions)
         except AttributeError:
             pass
-    enriched = build_enriched(ds, config,
-                              enrich_concurrency=enrich_concurrency)
+    if already_enriched:
+        enriched = ds
+    else:
+        enriched = build_enriched(ds, config,
+                                  enrich_concurrency=enrich_concurrency)
     # only slim columns ride the sort — the text payload stays out of
     # the exchange entirely (route re-attaches it from the source)
     slim = enriched.map_batches(
         lambda t, cfg=config: t.select(slim_columns(t.schema.names, cfg)),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     sorted_mat = slim.sort(["conv_id", "turn_idx"]).materialize()
 
-    # side pass: boundary conversations, assembled once, driver-side
-    # (bounded: 2 convs × blocks; at cluster scale this becomes a
-    # segmented pass pairing adjacent blocks)
-    edge_tbls = [t for t in _ray.get(
-        sorted_mat.map_batches(_edge_rows, batch_format="pyarrow",
-                               batch_size=None).to_arrow_refs())
-        if t.num_rows > 0]
+    collector = BlockPartialCollector.remote()
     stage = AssembleStage(config)
-    if edge_tbls:
-        boundary_tbl = pa.concat_tables(edge_tbls)
-        bconvs = pa.compute.unique(boundary_tbl.column("conv_id"))
-        assembled_boundary = stage(boundary_tbl)
-    else:
-        bconvs = pa.array([], pa.string())
-        assembled_boundary = None
+    limit = config.limit_per_service
+    mseen_fn = metric_first_seen_fn(limit) if collect_agg else None
 
-    def assemble_interior(t: pa.Table, convs=bconvs) -> pa.Table:
-        keep = pa.compute.invert(
-            pa.compute.is_in(t.column("conv_id"), value_set=convs))
-        return stage(t.filter(keep))
-
-    interior = sorted_mat.map_batches(
-        assemble_interior, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None)
-    if assembled_boundary is not None and assembled_boundary.num_rows:
-        interior = interior.union(
-            ray.data.from_arrow(assembled_boundary))
-    # NB: no repartition here — a row-balancing repartition could split
-    # a conversation across blocks and break the per-batch decide pass.
-    assembled = interior.materialize()
-    del interior, sorted_mat  # release the sorted blocks' store refs
-
-    # cardinality cap (T3/T5 admission): pre-reduced per batch
-    def seg_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(t.column("is_seg_main"))
-        t = t.select(["entity_key", "seg_request", "seg_first_seen"])
+    def assemble_and_push(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t
-        gb = t.group_by(["entity_key", "seg_request"]).aggregate(
-            [("seg_first_seen", "min")])
-        return gb.rename_columns(
-            ["entity_key", "seg_request", "seg_first_seen"])
+            return stage(t)
+        key = block_key(t)
+        conv = t.column("conv_id")
+        em = pa.compute.or_(pa.compute.equal(conv, conv[0]),
+                            pa.compute.equal(conv, conv[t.num_rows - 1]))
+        edge = t.filter(em)
+        out = stage(t.filter(pa.compute.invert(em)))
+        items = [("edge", key, edge),
+                 ("seg", key, _seg_cap_partial(out, limit))]
+        if collect_agg:
+            items.append(("mseen", key, mseen_fn(out)))
+            items.append(("counts", key, _count_partials_tbl(out)))
+        # blocking get: the task completes only after its partials land
+        _ray.get(collector.add_many.remote(items))
+        return out
 
-    seg_rows = assembled.map_batches(seg_partial, batch_format="pyarrow",
-                                 batch_size=None)
-    allowed = compute_allowed_pairs(
-        seg_rows, "entity_key", "seg_request", "seg_first_seen",
-        config.limit_per_service)
+    # NB: no repartition after this — a row-balancing repartition could
+    # split a conversation across blocks and break the per-batch passes.
+    interior = sorted_mat.map_batches(
+        assemble_and_push, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+        num_cpus=_heavy_scan_cpus()).materialize()
+    del sorted_mat  # release the sorted blocks' store refs
+
+    # boundary conversations: assembled once, driver-side (bounded:
+    # ≤ 2 convs × blocks)
+    edge_tbls = [t for t in _ray.get(collector.tables.remote("edge"))
+                 if t.num_rows > 0]
+    seg_tbls = list(_ray.get(collector.tables.remote("seg")))
+    mseen_tbls = (list(_ray.get(collector.tables.remote("mseen")))
+                  if collect_agg else [])
+    counts_tbls = (list(_ray.get(collector.tables.remote("counts")))
+                   if collect_agg else [])
+    if edge_tbls:
+        assembled_boundary = stage(pa.concat_tables(edge_tbls))
+        seg_tbls.append(_seg_cap_partial(assembled_boundary, limit))
+        if collect_agg:
+            mseen_tbls.append(mseen_fn(assembled_boundary))
+            counts_tbls.append(_count_partials_tbl(assembled_boundary))
+        assembled = interior.union(
+            ray.data.from_arrow(assembled_boundary))
+    else:
+        assembled = interior
+
+    allowed = allowed_pairs_from_df(
+        _tbls_to_df(seg_tbls), "entity_key", "seg_request",
+        "seg_first_seen", limit)
+    counts_df = _tbls_to_df(counts_tbls) if collect_agg else None
+    mseen_df = _tbls_to_df(mseen_tbls) if collect_agg else None
+
+    if not with_decide:
+        return DecidedBuild(decided=assembled, allowed=allowed,
+                            counts_df=counts_df, mseen_df=mseen_df)
 
     stage_d = DecideStage(config, allowed)
     if drop_intermediate:
@@ -240,7 +319,20 @@ def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
     decided = assembled.map_batches(
         decide_fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None, num_cpus=_heavy_scan_cpus()).materialize()
-    return decided, allowed
+    return DecidedBuild(decided=decided, allowed=allowed,
+                        counts_df=counts_df, mseen_df=mseen_df)
+
+
+def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
+                  num_partitions: int | None = None,
+                  enrich_concurrency=None,
+                  drop_intermediate: bool = False,
+                  ) -> tuple["ray.data.Dataset", frozenset[str]]:
+    """Compatibility wrapper: (decided, allowed)."""
+    b = build_decided_ex(ds, config, num_partitions=num_partitions,
+                         enrich_concurrency=enrich_concurrency,
+                         drop_intermediate=drop_intermediate)
+    return b.decided, b.allowed
 
 
 # assembly/decide intermediates that no downstream consumer reads —
@@ -253,15 +345,27 @@ _INTERMEDIATE_COLS = frozenset({
 })
 
 
-def _winner_partials_fn(k: int):
-    """ONE scan over the decided turn table emitting both per-block
+def _winner_partials_fn(k: int, hist_fn=None, window_us: int | None = None):
+    """ONE scan over the decided turn table emitting the per-block
     partial reductions the flush needs: local top-K of error/slow items
     per (entity, request, qtype) and local first-arrival normal
     candidates per (entity, request, bucket) — distinguished by `kind`.
-    Both are semilattice partials, so the driver merge is exact."""
+    Both are semilattice partials, so the driver merge is exact.  With
+    `hist_fn` (a histogram partial combiner), the same scan also emits
+    kind="hist" A4 rows — the histogram costs no extra pass.  With
+    `window_us`, partials carry the conversation's event-time flush
+    window (derived from arrival_key) and reduce per window — the K4
+    incremental-flush mode (reference cadence: sampler.go:215-276)."""
     import pyarrow.compute as pc
 
+    def _window_of(arrival_key: np.ndarray) -> np.ndarray:
+        if len(arrival_key) == 0:
+            return np.array([], np.int64)
+        us = np.array([int(a[:20]) for a in arrival_key], np.int64)
+        return us // window_us
+
     def fn(t: pa.Table) -> pa.Table:
+        full = t                       # hist partial needs EVERY turn
         t = t.filter(t.column("is_trace_row"))
         es = t.filter(pc.is_valid(t.column("trace_sample_type")))
         st = es.column("trace_sample_type")
@@ -280,8 +384,13 @@ def _winner_partials_fn(k: int):
                 zero_copy_only=False),
             "bucket": np.int64(-1),
         })
-        from asserts_otel_processor_ray.stages.topk import topk_df
-        es_df = topk_df(es_df, k)
+        from asserts_otel_processor_ray.stages.topk import (
+            _ITEM_KEYS, topk_df)
+        if window_us is not None:
+            es_df["window"] = _window_of(es_df["arrival_key"].to_numpy())
+            es_df = topk_df(es_df, k, keys=["window", *_ITEM_KEYS])
+        else:
+            es_df = topk_df(es_df, k)
 
         nc = t.filter(t.column("is_ncand"))
         nc_df = pd.DataFrame({
@@ -298,12 +407,25 @@ def _winner_partials_fn(k: int):
                 zero_copy_only=False),
             "bucket": nc.column("ncand_bucket").to_numpy(),
         })
+        if window_us is not None:
+            nc_df["window"] = _window_of(nc_df["arrival_key"].to_numpy())
         if not nc_df.empty:
-            idx = nc_df.groupby(["entity", "request", "bucket"],
+            nc_keys = ["entity", "request", "bucket"]
+            if window_us is not None:
+                nc_keys = ["window", *nc_keys]
+            idx = nc_df.groupby(nc_keys,
                                 sort=False)["arrival_key"].idxmin()
             nc_df = nc_df.loc[idx]
         out = pd.concat([es_df, nc_df], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out_tbl = pa.Table.from_pandas(out, preserve_index=False)
+        if hist_fn is not None:
+            h = hist_fn(full)
+            if h.num_rows:
+                h = h.append_column(
+                    "kind", pa.array(["hist"] * h.num_rows, pa.string()))
+                out_tbl = pa.concat_tables(
+                    [out_tbl, h], promote_options="permissive")
+        return out_tbl
     return fn
 
 
@@ -387,14 +509,17 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     With ``checkpoint_dir``, the decided turn table is checkpointed as
     partitioned Parquet with per-file lineage; a rerun with the same
     config hash resumes from it (state/checkpoint.py)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from asserts_otel_processor_ray.stages.aggregate import (
-        combined_partials_fn)
+        combined_partials_fn, histogram_partial_fn,
+        latency_histogram_final_tbl)
     from asserts_otel_processor_ray.stages.topk import (
         allowed_pairs_from_df, collect_df)
 
-    source = (read_transcripts(input_path)
+    import ray as _ray
+    ncpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_read = num_partitions if num_partitions is not None \
+        else max(8, ncpus * 2)
+    source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
     # lineage key = config hash + input identity: a rerun with the same
     # config against different data must not serve stale checkpoints
@@ -406,25 +531,26 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     if not config.sample_traces:
         # pass-through mode (processor.go:70-74): enriched turns are
         # forwarded unchanged, no sampling, no routed classes; the
-        # latency histogram is still captured when enabled
+        # latency histogram is still captured when enabled.  The input
+        # is read (and parsed/enriched) exactly ONCE: the histogram
+        # derives from the same materialized enriched dataset that is
+        # forwarded, via slim→sort→assemble (no decide pass).
         passthrough = build_enriched(source, config,
                                      enrich_concurrency=enrich_concurrency)
+        if with_aggregates and config.capture_metrics:
+            passthrough = passthrough.materialize()
         result = PipelineResult(routed=passthrough, winners=[],
                                 winner_map={})
         if with_aggregates and config.capture_metrics:
-            decided_lite, _ = build_decided(
-                source, config, num_partitions=num_partitions,
-                enrich_concurrency=enrich_concurrency)
-            from asserts_otel_processor_ray.stages.topk import (
-                allowed_pairs_from_df as _apf, collect_df as _cdf)
-            ms = _cdf(decided_lite.map_batches(
-                metric_first_seen_fn(), batch_format="pyarrow",
-                batch_size=None))
-            metric_allowed = _apf(ms, "entity_key", "seg_request",
-                                  "seg_first_seen",
-                                  config.limit_per_service)
+            b = build_decided_ex(
+                passthrough, config, num_partitions=num_partitions,
+                with_decide=False, collect_agg=True,
+                already_enriched=True)
+            metric_allowed = allowed_pairs_from_df(
+                b.mseen_df, "entity_key", "seg_request",
+                "seg_first_seen", config.limit_per_service)
             result.aggregates["latency_hist"] = latency_histogram(
-                decided_lite, config, metric_allowed)
+                b.decided, config, metric_allowed)
         if out_dir is not None:
             import os
             path = os.path.join(out_dir, "passthrough")
@@ -434,6 +560,7 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
         return result
 
     decided = None
+    b = None
     if checkpoint_dir is not None:
         from asserts_otel_processor_ray.state.checkpoint import (
             checkpoint_dataset, restore_dataset)
@@ -443,47 +570,80 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
         if restored is not None:
             decided = restored.materialize()
     if decided is None:
-        decided, _allowed = build_decided(
+        b = build_decided_ex(
             source, config, num_partitions=num_partitions,
             enrich_concurrency=enrich_concurrency,
-            drop_intermediate=True)
+            drop_intermediate=True, collect_agg=with_aggregates)
+        decided = b.decided
         if checkpoint_dir is not None:
             checkpoint_dataset(decided, checkpoint_dir, "decided",
                                cfg_hash)
 
-    # the winner scan and the (combined) aggregate-partials scan are
-    # independent passes over the materialized turn table — overlap them
-    def agg_scan():
-        return collect_df(decided.map_batches(
-            combined_partials_fn(config), batch_format="pyarrow",
-            batch_size=None, num_cpus=_heavy_scan_cpus()))
-
+    # aggregate partials: drained from the assemble pass's collector;
+    # on checkpoint-restore (no collector ran) recomputed in one scan
+    counts_df = mseen_df = None
+    metric_allowed: frozenset[str] = frozenset()
+    hist_fn = None
     if with_aggregates:
-        with ThreadPoolExecutor(2) as ex:
-            f_win = ex.submit(select_winners, decided, config)
-            f_agg = ex.submit(agg_scan)
-            winners = f_win.result()
-            agg_df = f_agg.result()
+        if b is not None:
+            counts_df, mseen_df = b.counts_df, b.mseen_df
+        else:
+            agg_df = collect_df(decided.map_batches(
+                combined_partials_fn(config), batch_format="pyarrow",
+                batch_size=None, num_cpus=_heavy_scan_cpus()))
+            counts_df = agg_df[agg_df["kind"].isin(["tcount", "scount"])]
+            mseen_df = agg_df[agg_df["kind"] == "mseen"]
+        metric_allowed = allowed_pairs_from_df(
+            mseen_df, "entity_key", "seg_request", "seg_first_seen",
+            config.limit_per_service)
+        if config.capture_metrics:
+            hist_fn = histogram_partial_fn(config, metric_allowed)
+
+    # ONE scan of the decided table yields the winner partials AND the
+    # A4 histogram partials (kind-tagged); the merge stays in Arrow —
+    # a pandas multi-string-key groupby over blocks × label-space rows
+    # was the driver bottleneck at high block counts
+    import pyarrow.compute as pc
+    scan = decided.map_batches(
+        _winner_partials_fn(config.per_request_topk, hist_fn),
+        batch_format="pyarrow", batch_size=None,
+        num_cpus=_heavy_scan_cpus())
+    tbls = [t for t in _ray.get(scan.to_arrow_refs()) if t.num_rows > 0]
+    hist_tbl = None
+    if not tbls:
+        winners = []
     else:
-        winners = select_winners(decided, config)
-        agg_df = None
+        tbl = pa.concat_tables(tbls, promote_options="permissive")
+        kind = tbl.column("kind")
+        win_tbl = tbl.filter(pc.is_in(
+            kind, value_set=pa.array(["item", "ncand"], pa.string())))
+        win_cols = ["kind", "conv_id", "entity", "request", "qtype",
+                    "sample_type", "latency", "arrival_key", "bucket"]
+        winners = _finish_winners(
+            win_tbl.select(win_cols).to_pandas(), config)
+        if hist_fn is not None:
+            hist_tbl = tbl.filter(pc.equal(kind, "hist"))
     winner_map = {r["conv_id"]: r["sample_type"] for r in winners}
 
     routed = build_routed(source, decided, winner_map)
+    if with_aggregates or out_dir is not None:
+        # materialize once: span_sampled, sink writes and any caller
+        # count() all read these (bounded, winner-convs-only) blocks
+        routed = routed.materialize()
 
     result = PipelineResult(routed=routed, winners=winners,
                             winner_map=winner_map, decided=decided)
 
     if with_aggregates:
-        tc = int(agg_df.loc[agg_df["kind"] == "tcount",
-                            "partial_count"].sum())
+        tc = int(counts_df.loc[counts_df["kind"] == "tcount",
+                               "partial_count"].sum())
         result.aggregates["trace_count"] = pa.table({
             "asserts_env": pa.array([config.env]),
             "asserts_site": pa.array([config.site]),
             "trace_count_total": pa.array([tc], pa.int64())})
-        sc = (agg_df[agg_df["kind"] == "scount"]
+        sc = (counts_df[counts_df["kind"] == "scount"]
               .groupby(["namespace", "service"], sort=False)
-              ["partial_count"].sum().reset_index(
+              ["partial_count"].sum().astype("int64").reset_index(
                   name="span_count_total"))
         sc.insert(0, "asserts_site", config.site)
         sc.insert(0, "asserts_env", config.env)
@@ -491,30 +651,20 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             sc, preserve_index=False)
         result.aggregates["trace_sampled_count"] = sampled_trace_counts(
             winners, config)
-        metric_allowed = allowed_pairs_from_df(
-            agg_df[agg_df["kind"] == "mseen"], "entity_key",
-            "seg_request", "seg_first_seen", config.limit_per_service)
-        # span_sampled (scan of routed) and the histogram (scan of
-        # decided) are independent — overlap them too
-        with ThreadPoolExecutor(2) as ex:
-            f_ss = ex.submit(span_counts, routed, config,
-                             "span_sampled_count_total")
-            if config.capture_metrics:
-                f_h = ex.submit(latency_histogram, decided, config,
-                                metric_allowed)
-                result.aggregates["latency_hist"] = f_h.result()
-            result.aggregates["span_sampled_count"] = f_ss.result()
+        result.aggregates["span_sampled_count"] = span_counts(
+            routed, config, "span_sampled_count_total")
+        if config.capture_metrics:
+            result.aggregates["latency_hist"] = (
+                latency_histogram_final_tbl(hist_tbl, config))
 
     if out_dir is not None:
         import os
 
         from asserts_otel_processor_ray.state.checkpoint import (
-            Lineage, checkpoint_dataset, checkpoint_table, restore_dataset,
+            Lineage, checkpoint_dataset, checkpoint_table,
             stage_dir)
         os.makedirs(out_dir, exist_ok=True)
         lineage = Lineage(out_dir)
-        routed = routed.materialize()
-        result.routed = routed
         for sink in SINKS:
             stage = sink
             if lineage.stage_complete(stage, cfg_hash):
@@ -538,3 +688,89 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
                 result.aggregates[name] = checkpoint_dataset(
                     agg, out_dir, stage, cfg_hash, lineage)
     return result
+
+
+def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
+                          config: PipelineConfig, *,
+                          out_dir: str,
+                          window_seconds: float | None = None,
+                          num_partitions: int | None = None) -> dict:
+    """K4 incremental flush: the reference drains its trace queues every
+    ``trace_flush_frequency_seconds`` (assertsprocessor/sampler.go:
+    215-276); the batch analog assigns each conversation to the
+    event-time window of its arrival and flushes winners per window.
+
+    Physical shape: ONE sort/assemble/decide over the whole input (the
+    admission cap stays global, matching the reference's cross-flush
+    TTL cache), ONE window-aware winner scan, ONE route pass; only the
+    sink writes loop per window, each with its own lineage completeness
+    marker, so a resumed run skips every finished window and recomputes
+    only the missing ones.
+    """
+    import os
+
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    from asserts_otel_processor_ray.state.checkpoint import (
+        Lineage, checkpoint_dataset, input_fingerprint, stage_dir)
+
+    window_seconds = (window_seconds
+                      or config.trace_flush_frequency_seconds)
+    window_us = int(window_seconds * 1_000_000)
+    ncpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_read = num_partitions if num_partitions is not None \
+        else max(8, ncpus * 2)
+    source = (read_transcripts(input_path, num_blocks=n_read)
+              if isinstance(input_path, str) else input_path)
+    cfg_hash = (config.config_hash() + "-"
+                + input_fingerprint(input_path) + f"-w{window_us}")
+
+    b = build_decided_ex(source, config, num_partitions=num_partitions,
+                         drop_intermediate=True, collect_agg=False)
+    decided = b.decided
+
+    df = collect_df(decided.map_batches(
+        _winner_partials_fn(config.per_request_topk,
+                            window_us=window_us),
+        batch_format="pyarrow", batch_size=None,
+        num_cpus=_heavy_scan_cpus()))
+    winners_by_window: dict[int, list[dict]] = {}
+    winner_map_all: dict[str, str] = {}
+    window_of_conv: dict[str, int] = {}
+    if not df.empty:
+        for w, wdf in df.groupby("window", sort=True):
+            winners = _finish_winners(wdf, config)
+            winners_by_window[int(w)] = winners
+            for r in winners:
+                winner_map_all[r["conv_id"]] = r["sample_type"]
+                window_of_conv[r["conv_id"]] = int(w)
+
+    routed = build_routed(source, decided, winner_map_all).materialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = Lineage(out_dir)
+    sink_paths: dict[str, str] = {}
+    skipped: list[str] = []
+    for w in sorted(winners_by_window):
+        convs_w = pa.array(
+            sorted(c for c, ww in window_of_conv.items() if ww == w),
+            pa.string())
+        for sink in SINKS:
+            stage = f"window={w:06d}/{sink}"
+            if lineage.stage_complete(stage, cfg_hash):
+                sink_paths[stage] = stage_dir(out_dir, stage)
+                skipped.append(stage)
+                continue
+            sub = routed.map_batches(
+                lambda t, s=sink, cw=convs_w: t.filter(pc.and_(
+                    pc.equal(t.column("sample_type"), s),
+                    pc.is_in(t.column("conv_id"), value_set=cw))),
+                batch_format="pyarrow")
+            sink_paths[stage] = checkpoint_dataset(
+                sub, out_dir, stage, cfg_hash, lineage)
+    return {"winners_by_window": winners_by_window,
+            "sink_paths": sink_paths, "routed": routed,
+            "skipped": skipped}

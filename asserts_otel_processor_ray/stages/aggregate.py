@@ -143,10 +143,13 @@ def service_key_expr(batch: pa.Table):
                       pc.binary_join_element_wise(ns, svc, "#"), svc)
 
 
-def metric_first_seen_fn():
+def metric_first_seen_fn(limit: int | None = None):
     """Per-batch partial: min first-seen key per (service_key,
     request_context) over non-internal spans — input to the metric-side
-    cardinality cap (metric_helper.go:91-141).  Pure Arrow kernels."""
+    cardinality cap (metric_helper.go:91-141).  Pure Arrow kernels.
+    With `limit`, additionally pre-caps to the first `limit` contexts
+    per service key inside the block (exact — see _seg_cap_partial),
+    bounding the driver merge."""
     def fn(batch: pa.Table) -> pa.Table:
         mask = pc.less(batch.column("class_order"), 3)
         batch = batch.filter(mask)
@@ -166,8 +169,14 @@ def metric_first_seen_fn():
                       "seg_first_seen": first})
         gb = t.group_by(["entity_key", "seg_request"]).aggregate(
             [("seg_first_seen", "min")])
-        return gb.rename_columns(
+        gb = gb.rename_columns(
             ["entity_key", "seg_request", "seg_first_seen"])
+        if limit is not None and gb.num_rows:
+            df = gb.to_pandas().sort_values("seg_first_seen",
+                                            kind="mergesort")
+            df = df.groupby("entity_key", sort=False).head(limit)
+            gb = pa.Table.from_pandas(df, preserve_index=False)
+        return gb
     return fn
 
 
@@ -286,14 +295,25 @@ def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
     sum/count.  The label space is bounded by the A5 cap (≤ limit
     request contexts per service × buckets), so after the per-batch
     partial the final sum is a small driver-side merge."""
-    from asserts_otel_processor_ray.stages.topk import collect_df
+    import ray as _ray
+    part = ds.map_batches(histogram_partial_fn(config, metric_allowed),
+                          batch_format="pyarrow", batch_size=None)
+    tbls = [t for t in _ray.get(part.to_arrow_refs()) if t.num_rows > 0]
+    merged = (pa.concat_tables(tbls, promote_options="permissive")
+              if tbls else None)
+    return latency_histogram_final_tbl(merged, config)
+
+
+def latency_histogram_final_tbl(tbl: "pa.Table | None",
+                                config: PipelineConfig) -> pa.Table:
+    """Driver-side final merge of histogram partials — pure Arrow
+    (multithreaded group_by; a pandas multi-string-key groupby here was
+    the driver bottleneck at high block counts).  Also consumed by the
+    folded winner+histogram scan in pipelines/pipeline.py."""
     label_cols = histogram_label_columns(config)
     keys = ["namespace", "service", "span_kind", "status_code",
             *label_cols, "le"]
-    part = ds.map_batches(histogram_partial_fn(config, metric_allowed),
-                          batch_format="pyarrow", batch_size=None)
-    df = collect_df(part)
-    if df.empty:
+    if tbl is None or tbl.num_rows == 0:
         cols = {"asserts_env": pa.array([], pa.string()),
                 "asserts_site": pa.array([], pa.string())}
         cols.update({k: pa.array([], pa.string()) for k in keys[:-1]})
@@ -302,12 +322,24 @@ def latency_histogram(ds: "ray.data.Dataset", config: PipelineConfig,
         cols["latency_sum"] = pa.array([], pa.float64())
         cols["latency_count"] = pa.array([], pa.int64())
         return pa.table(cols)
-    out = df.groupby(keys, sort=False, dropna=False).agg(
-        bucket_count=("bucket_count", "sum"),
-        latency_sum=("latency_sum", "sum"),
-        latency_count=("latency_count", "sum")).reset_index()
+    tbl = tbl.select(keys + ["bucket_count", "latency_sum",
+                             "latency_count"])
+    gb = tbl.group_by(keys).aggregate(
+        [("bucket_count", "sum"), ("latency_sum", "sum"),
+         ("latency_count", "sum")])
+    gb = gb.rename_columns(keys + ["bucket_count", "latency_sum",
+                                   "latency_count"])
+    gb = gb.set_column(gb.schema.get_field_index("bucket_count"),
+                       "bucket_count",
+                       gb.column("bucket_count").cast(pa.int64()))
+    gb = gb.set_column(gb.schema.get_field_index("latency_count"),
+                       "latency_count",
+                       gb.column("latency_count").cast(pa.int64()))
     # every histogram series carries the env/site labels like the other
     # aggregate tables (metric_helper.go buildLabels: envLabel/siteLabel)
-    out.insert(0, "asserts_site", config.site)
-    out.insert(0, "asserts_env", config.env)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    n = gb.num_rows
+    gb = gb.add_column(0, "asserts_site",
+                       pa.array([config.site] * n, pa.string()))
+    gb = gb.add_column(0, "asserts_env",
+                       pa.array([config.env] * n, pa.string()))
+    return gb

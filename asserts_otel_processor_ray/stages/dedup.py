@@ -106,6 +106,107 @@ def shingle_sets(batch: pa.Table, w: int = 3) -> dict[int, frozenset]:
     return {int(doc_id[d]): s for d, s in grouped.items()}
 
 
+def shingle_list_column(batch: pa.Table, w: int = 3) -> pa.ListArray:
+    """Per-doc DEDUPED shingle-hash lists as an Arrow list column
+    aligned with the batch rows (the distributed-verify payload)."""
+    n = batch.num_rows
+    toks = _tokens_series(batch.column("text"))
+    hashes, docs = shingle_hashes(toks, w)
+    h64 = hashes.astype(np.int64)
+    order = np.lexsort((h64, docs))
+    d, h = docs[order], h64[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])] \
+        if len(d) else np.array([], bool)
+    d, h = d[keep], h[keep]
+    counts = np.bincount(d, minlength=n)
+    offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(h, pa.int64()))
+
+
+# ---- distributed MinHash-LSH pipeline ------------------------------------
+
+def minhash_band_expand_fn(k: int = 32, bands: int = 8, rows: int = 4,
+                           w: int = 3):
+    """map_batches fn: documents → (doc_id, band_id, band_hash,
+    shingles) long table.  Only signatures + shingle-hash lists leave
+    the batch — never the documents — so the groupby that follows
+    shuffles a payload ~bands × (8B × shingles) per doc."""
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures_batch(batch, k, w).to_pandas()
+        sh = shingle_list_column(batch, w)
+        banded = lsh_band_keys(sig, bands, rows)
+        # repeat each doc's shingle list once per band (positional take)
+        pos = np.tile(np.arange(len(sig), dtype=np.int64), bands)
+        out = pa.table({
+            "doc_id": pa.array(banded["doc_id"].to_numpy(), pa.int64()),
+            "band_id": pa.array(banded["band_id"].to_numpy(), pa.int32()),
+            "band_hash": pa.array(
+                banded["band_hash"].to_numpy().astype(np.int64),
+                pa.int64()),
+            "shingles": sh.take(pa.array(pos)),
+        })
+        return out
+    return fn
+
+
+def verify_bucket_df(group: pd.DataFrame,
+                     threshold: float) -> pd.DataFrame:
+    """Per-bucket body: exact Jaccard over shingle lists for every pair
+    sharing this (band_id, band_hash) bucket."""
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=float)})
+    if len(group) < 2:
+        return empty
+    g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    sets = [frozenset(np.asarray(s).tolist()) for s in g["shingles"]]
+    rows_ = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            union = len(sets[i] | sets[j])
+            jac = len(sets[i] & sets[j]) / union if union else 0.0
+            if jac >= threshold:
+                rows_.append((int(ids[i]), int(ids[j]), jac))
+    if not rows_:
+        return empty
+    return pd.DataFrame(rows_, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
+                              rows: int = 4, w: int = 3,
+                              threshold: float = 0.5,
+                              max_bucket: int | None = None
+                              ) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs as a real shuffle: band-expand per
+    batch, ONE groupby((band_id, band_hash)) moving signatures+shingle
+    lists (not documents), exact Jaccard verify inside each bucket, and
+    a driver dedup of the (bounded: true near-dups only) verified pairs.
+
+    ``max_bucket`` skips degenerate hot buckets (standard LSH guard);
+    None verifies everything.
+    """
+    banded = docs.map_batches(minhash_band_expand_fn(k, bands, rows, w),
+                              batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None and len(group) > max_bucket:
+            return verify_bucket_df(group.iloc[:0], threshold)
+        return verify_bucket_df(group, threshold)
+
+    out = banded.groupby(["band_id", "band_hash"]).map_groups(
+        verify, batch_format="pandas")
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    df = collect_df(out)
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=float)})
+    return (df.drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 # ---- SimHash -------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -127,6 +228,63 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         "simhash": pa.array([format(int(x), "016x")
                              for x in packed.ravel()], pa.string()),
     })
+
+
+def simhash_band_expand(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, band_id, band_hash, simhash) long rows: the
+    4×16-bit chunk banding (any equal chunk catches hamming ≤ 3)."""
+    sim = simhash_batch(batch)
+    doc = sim.column("doc_id").to_numpy()
+    vals = np.array([int(x, 16) for x in sim.column("simhash").to_pylist()],
+                    dtype=np.uint64)
+    frames = []
+    for c in range(4):
+        chunk = (vals >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+        frames.append(pd.DataFrame({
+            "doc_id": doc, "band_id": np.int32(c),
+            "band_hash": chunk.astype(np.int64),
+            "simhash": vals.astype(np.int64)}))
+    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                preserve_index=False)
+
+
+def simhash_verify_bucket(group: pd.DataFrame,
+                          max_hamming: int) -> pd.DataFrame:
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "hamming": pd.Series(dtype=np.int64)})
+    if len(group) < 2:
+        return empty
+    g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    vals = g["simhash"].to_numpy().astype(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    x = vals[ii] ^ vals[jj]
+    ham = np.array([bin(int(v)).count("1") for v in x])
+    hit = ham <= max_hamming
+    if not hit.any():
+        return empty
+    return pd.DataFrame({"doc_a": ids[ii[hit]].astype(np.int64),
+                         "doc_b": ids[jj[hit]].astype(np.int64),
+                         "hamming": ham[hit].astype(np.int64)})
+
+
+def simhash_pairs_distributed(docs, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs as a real shuffle: chunk-band expand per
+    batch, groupby((band_id, band_hash)) moving 16-byte rows only,
+    exact hamming verify per bucket, driver dedup of verified pairs."""
+    banded = docs.map_batches(simhash_band_expand, batch_format="pyarrow")
+    out = banded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: simhash_verify_bucket(g, max_hamming),
+        batch_format="pandas")
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    df = collect_df(out)
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "hamming": pd.Series(dtype=np.int64)})
+    return (df.drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
 def simhash_near_pairs(sim_df: pd.DataFrame,

@@ -165,29 +165,67 @@ def near_dup_pairs_exact(ds: "ray.data.Dataset",
             .reset_index(drop=True))
 
 
+def _near_dup_verify_bucket(group: pd.DataFrame,
+                            threshold: float) -> pd.DataFrame:
+    """Per-bucket body: exact float64 cosine over the bucket's vectors."""
+    empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                          "vec_b": pd.Series(dtype=np.int64)})
+    if len(group) < 2:
+        return empty
+    g = group.drop_duplicates("vec_id").sort_values("vec_id")
+    ids = g["vec_id"].to_numpy().astype(np.int64)
+    m = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                             for e in g["embedding"]]))
+    sims = m @ m.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    hit = sims[ii, jj] >= threshold
+    if not hit.any():
+        return empty
+    return pd.DataFrame({"vec_a": ids[ii[hit]], "vec_b": ids[jj[hit]]})
+
+
 def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
-                       dim: int) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
-    verify inside each bucket (groupby(bucket) at scale; collected at
-    test scale)."""
+                       dim: int, bands: int = 8,
+                       bits_per_band: int = 2) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs, distributed: hyperplane
+    signatures per batch are split into ``bands`` bands of
+    ``bits_per_band`` bits; ONE groupby((band_id, band_hash)) shuffles
+    (vec_id, embedding) rows ×bands, each bucket verifies exact float64
+    cosine, and the driver dedups the verified (true near-dups only)
+    pairs.  Recall is the standard LSH band tradeoff: a pair colliding
+    on any band is verified; more/wider bands trade shuffle volume for
+    recall (the exact all-pairs oracle is near_dup_pairs_exact)."""
+    lsh = HyperplaneLSH(dim, nbits=bands * bits_per_band)
+    mask = np.uint64((1 << bits_per_band) - 1)
+
+    def band_expand(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        sig = lsh.signature(m)
+        n = batch.num_rows
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        hashes = np.concatenate([
+            ((sig >> np.uint64(b * bits_per_band)) & mask).astype(np.int64)
+            for b in range(bands)])
+        pos = np.tile(np.arange(n, dtype=np.int64), bands)
+        return pa.table({
+            "vec_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(hashes, pa.int64()),
+            "embedding": emb.take(pa.array(pos)),
+        })
+
+    banded = ds.map_batches(band_expand, batch_format="pyarrow")
+    out = banded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _near_dup_verify_bucket(g, threshold),
+        batch_format="pandas")
     from asserts_otel_processor_ray.stages.topk import collect_df
-    lsh = HyperplaneLSH(dim)
-    sigs = collect_df(ds.map_batches(lsh, batch_format="pyarrow"))
-    vecs = collect_df(ds.map_batches(
-        lambda t: t.select(["vec_id", "embedding"]),
-        batch_format="pyarrow"))
-    by_id = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
-             for r in vecs.itertuples()}
-    pairs = []
-    for _, grp in sigs.groupby("bucket"):
-        ids = sorted(grp["vec_id"].tolist())
-        if len(ids) < 2:
-            continue
-        m = _normalize(np.stack([by_id[i] for i in ids]))
-        sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hit = sims[ii, jj] >= threshold
-        for a, b in zip(np.asarray(ids)[ii[hit]],
-                        np.asarray(ids)[jj[hit]]):
-            pairs.append((int(a), int(b)))
-    return pd.DataFrame(sorted(set(pairs)), columns=["vec_a", "vec_b"])
+    df = collect_df(out)
+    if df.empty:
+        return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                             "vec_b": pd.Series(dtype=np.int64)})
+    return (df.drop_duplicates().sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True))

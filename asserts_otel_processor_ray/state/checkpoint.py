@@ -115,7 +115,9 @@ def checkpoint_dataset(ds: "ray.data.Dataset", root: str, stage: str,
     record per-file lineage, mark complete.  Returns the stage dir."""
     lineage = lineage or Lineage(root)
     out = stage_dir(root, stage)
-    tmp = tempfile.mkdtemp(dir=root, prefix=f".{stage}-tmp-")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root,
+                           prefix=f".{stage.replace(os.sep, '_')}-tmp-")
     ds.write_parquet(tmp)
     if os.path.isdir(out):
         shutil.rmtree(out)

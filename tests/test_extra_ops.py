@@ -125,7 +125,8 @@ def ducks():
 
 
 CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
-           "d_token_jaccard", "e_ann_topk", "e_knn_label",
+           "d_token_jaccard", "d_fingerprint", "d_simhash",
+           "d_simhash_pairs", "e_ann_topk", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "m_media_features"]
 
@@ -141,8 +142,7 @@ def test_extra_query_matches_oracle(name, ducks, ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-ROWS_ONLY = ["d_fingerprint", "d_minhash_pairs", "d_simhash",
-             "e_lsh_buckets"]
+ROWS_ONLY = ["d_minhash_pairs", "e_lsh_buckets"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

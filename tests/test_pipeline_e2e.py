@@ -67,6 +67,27 @@ def test_query_matches_oracle(name, oracle, queries):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_run_pipeline_aggregates_match_query_path(ray_session):
+    """run_pipeline's FOLDED aggregate outputs (collector-actor partials
+    + winner-scan histogram) must equal the standalone query-path
+    computations the oracle validates — regression for the folded
+    histogram seeing only trace rows."""
+    from asserts_otel_processor_ray.pipelines.pipeline import run_pipeline
+    from asserts_otel_processor_ray.pipelines.queries import CORE_QUERIES
+    path = ensure_transcripts(SF_DIR)
+    cfg = default_config()
+    res = run_pipeline(path, cfg)
+    for agg_name, qname in [("latency_hist", "t_agg_latency_hist"),
+                            ("trace_count", "t_agg_trace_count"),
+                            ("span_count", "t_agg_span_count"),
+                            ("trace_sampled_count", "t_agg_sampled_count"),
+                            ("span_sampled_count", "t_agg_span_sampled")]:
+        a = normalize(res.aggregates[agg_name].to_pandas())
+        b = normalize(CORE_QUERIES[qname](SF_DIR).to_pandas())
+        assert len(a) == len(b), f"{agg_name}: rows {len(a)} vs {len(b)}"
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_enrich_actor_pool_path(ray_session):
     """The enrich stage as an actor pool (concurrency) must produce the
     same result as the task path."""
