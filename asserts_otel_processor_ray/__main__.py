@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--config", help="YAML pipeline config")
     run.add_argument("--checkpoint", help="checkpoint/lineage directory")
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument("--window-seconds", type=float, default=None,
+                     help="incremental-flush mode: one flush per "
+                          "event-time window of this many seconds "
+                          "(default: single flush)")
+    run.add_argument("--promtext", action="store_true",
+                     help="also write metrics.prom (Prometheus text "
+                          "exposition of the aggregate tables)")
 
     conv = sub.add_parser("convert-jaeger",
                           help="convert Jaeger JSON to transcript parquet")
@@ -64,8 +71,45 @@ def main(argv: list[str] | None = None) -> int:
             run_pipeline)
         cfg = (PipelineConfig.from_yaml(args.config) if args.config
                else default_config())
+        if args.window_seconds:
+            from asserts_otel_processor_ray.pipelines.pipeline import (
+                run_pipeline_windowed)
+            res = run_pipeline_windowed(
+                args.input, cfg, out_dir=args.out,
+                window_seconds=args.window_seconds)
+            summary = {
+                "windows": sorted(res["winners_by_window"]),
+                "winners": {w: len(v) for w, v
+                            in res["winners_by_window"].items()},
+                "skipped": res["skipped"],
+            }
+            print(json.dumps(summary))
+            return 0
         res = run_pipeline(args.input, cfg, out_dir=args.out,
                            checkpoint_dir=args.checkpoint)
+        if args.promtext:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from asserts_otel_processor_ray.functions.promtext import (
+                render_promtext)
+            aggs = {}
+            for k, v in res.aggregates.items():
+                if isinstance(v, str):
+                    import glob as _g
+                    fs = sorted(_g.glob(os.path.join(v, "*.parquet")))
+                    if fs:
+                        aggs[k] = pa.concat_tables(
+                            [pq.read_table(f) for f in fs])
+                elif isinstance(v, pa.Table):
+                    aggs[k] = v
+            path = os.path.join(args.out, "metrics.prom")
+            with open(path, "w") as f:
+                f.write(render_promtext(
+                    aggs, buckets=cfg.latency_histogram_buckets))
+            res.sink_paths["metrics.prom"] = path
         summary = {
             "winners": len(res.winners),
             "sinks": res.sink_paths,

@@ -142,11 +142,13 @@ def slim_columns(names: list[str], config: PipelineConfig) -> list[str]:
 class DecidedBuild:
     """Output of build_decided_ex: the decided (or, with
     with_decide=False, assembled) turn table plus the small partial
-    reductions drained from the assemble pass's collector."""
+    reductions drained from the assemble/decide passes' collector."""
     decided: "ray.data.Dataset"
     allowed: frozenset[str]
     counts_df: "pd.DataFrame | None" = None   # kind-tagged tcount/scount
     mseen_df: "pd.DataFrame | None" = None    # metric-cap first-seen pairs
+    metric_allowed: frozenset[str] = frozenset()
+    winhist_tbls: "list[pa.Table] | None" = None  # winner(+hist) partials
 
 
 def _seg_cap_partial(t: pa.Table, limit: int) -> pa.Table:
@@ -199,7 +201,10 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                      drop_intermediate: bool = False,
                      with_decide: bool = True,
                      collect_agg: bool = False,
-                     already_enriched: bool = False) -> DecidedBuild:
+                     already_enriched: bool = False,
+                     boundary_mode: str = "driver",
+                     winner_scan: bool = False,
+                     capture_hist: bool = False) -> DecidedBuild:
     """Everything up to per-trace decisions.
 
     Partitioning: the only full-data exchange is a sort on
@@ -214,13 +219,21 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     block splits itself: edge rows and the kilobyte-size partial
     reductions (admission cap, metric cap, A1/A3 counts) ride a
     side-channel collector actor instead of their own full-table scans.
+
+    ``boundary_mode``: how the boundary conversations reassemble.
+    "driver" (default, right for ≤ thousands of blocks): edge rows ride
+    the collector and assemble in one driver call.  "distributed" (the
+    100× path): each block spills its edge rows to scratch parquet, and
+    a groupby(conv_id).map_groups assembles them — no single process
+    ever holds an entire hot conversation; bitwise-equal output
+    (tests/test_boundary_modes.py).
     """
     import ray as _ray
 
     from asserts_otel_processor_ray.stages.aggregate import (
         metric_first_seen_fn)
     from asserts_otel_processor_ray.state.collector import (
-        BlockPartialCollector, block_key)
+        BlockPartialCollector, block_key, drain_tables)
     from asserts_otel_processor_ray.stages.topk import (
         allowed_pairs_from_df)
 
@@ -244,12 +257,18 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     slim = enriched.map_batches(
         lambda t, cfg=config: t.select(slim_columns(t.schema.names, cfg)),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    sorted_mat = slim.sort(["conv_id", "turn_idx"]).materialize()
+    # the assemble scan is the sort's only consumer — leave the sort
+    # lazy so sort-reduce and assemble run in ONE streamed execution
+    sorted_ds = slim.sort(["conv_id", "turn_idx"])
 
     collector = BlockPartialCollector.remote()
     stage = AssembleStage(config)
     limit = config.limit_per_service
     mseen_fn = metric_first_seen_fn(limit) if collect_agg else None
+    edge_scratch = None
+    if boundary_mode == "distributed":
+        import tempfile as _tf
+        edge_scratch = _tf.mkdtemp(prefix="edge-rows-")
 
     def assemble_and_push(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -260,8 +279,18 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                             pa.compute.equal(conv, conv[t.num_rows - 1]))
         edge = t.filter(em)
         out = stage(t.filter(pa.compute.invert(em)))
-        items = [("edge", key, edge),
-                 ("seg", key, _seg_cap_partial(out, limit))]
+        items = [("seg", key, _seg_cap_partial(out, limit))]
+        if edge_scratch is None:
+            items.append(("edge", key, edge))
+        else:
+            # spill edge rows to scratch parquet keyed by block — no
+            # single process ever holds all boundary conversations
+            import hashlib as _h
+            import os as _os
+            import pyarrow.parquet as _pq
+            fname = _h.sha256(repr(key).encode()).hexdigest()[:16]
+            _pq.write_table(edge, _os.path.join(
+                edge_scratch, f"edge-{fname}.parquet"))
         if collect_agg:
             items.append(("mseen", key, mseen_fn(out)))
             items.append(("counts", key, _count_partials_tbl(out)))
@@ -271,56 +300,116 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
 
     # NB: no repartition after this — a row-balancing repartition could
     # split a conversation across blocks and break the per-batch passes.
-    interior = sorted_mat.map_batches(
+    interior = sorted_ds.map_batches(
         assemble_and_push, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
         num_cpus=_heavy_scan_cpus()).materialize()
-    del sorted_mat  # release the sorted blocks' store refs
 
-    # boundary conversations: assembled once, driver-side (bounded:
-    # ≤ 2 convs × blocks)
-    edge_tbls = [t for t in _ray.get(collector.tables.remote("edge"))
-                 if t.num_rows > 0]
-    seg_tbls = list(_ray.get(collector.tables.remote("seg")))
-    mseen_tbls = (list(_ray.get(collector.tables.remote("mseen")))
+    seg_tbls = drain_tables(collector, "seg")
+    mseen_tbls = (drain_tables(collector, "mseen")
                   if collect_agg else [])
-    counts_tbls = (list(_ray.get(collector.tables.remote("counts")))
+    counts_tbls = (drain_tables(collector, "counts")
                    if collect_agg else [])
-    if edge_tbls:
-        assembled_boundary = stage(pa.concat_tables(edge_tbls))
-        seg_tbls.append(_seg_cap_partial(assembled_boundary, limit))
-        if collect_agg:
-            mseen_tbls.append(mseen_fn(assembled_boundary))
-            counts_tbls.append(_count_partials_tbl(assembled_boundary))
-        assembled = interior.union(
-            ray.data.from_arrow(assembled_boundary))
+
+    boundary_ds = None
+    assembled_boundary = None
+    if edge_scratch is not None:
+        # distributed repair: group the spilled edge rows by conv and
+        # assemble each conversation where its rows land
+        import glob as _glob
+        if _glob.glob(edge_scratch + "/*.parquet"):
+            edges_ds = ray.data.read_parquet(edge_scratch)
+            boundary_ds = edges_ds.groupby("conv_id").map_groups(
+                lambda g: stage(g), batch_format="pyarrow")
+            part_fns = [("seg", lambda t: _seg_cap_partial(t, limit))]
+            if collect_agg:
+                part_fns += [("mseen", mseen_fn),
+                             ("counts", _count_partials_tbl)]
+
+            def boundary_push(t: pa.Table) -> pa.Table:
+                items = [(kind, ("boundary",) + block_key(t), f(t))
+                         for kind, f in part_fns]
+                _ray.get(collector.add_many.remote(items))
+                return t
+
+            boundary_ds = boundary_ds.map_batches(
+                boundary_push, batch_format="pyarrow",
+                batch_size=None).materialize()
+            seg_tbls = drain_tables(collector, "seg")
+            if collect_agg:
+                mseen_tbls = drain_tables(collector, "mseen")
+                counts_tbls = drain_tables(collector, "counts")
+        import shutil as _sh
+        _sh.rmtree(edge_scratch, ignore_errors=True)
+        assembled = (interior.union(boundary_ds)
+                     if boundary_ds is not None else interior)
     else:
-        assembled = interior
+        # driver repair (bounded: ≤ 2 convs × blocks)
+        edge_tbls = [t for t in drain_tables(collector, "edge")
+                     if t.num_rows > 0]
+        if edge_tbls:
+            assembled_boundary = stage(pa.concat_tables(edge_tbls))
+            seg_tbls.append(_seg_cap_partial(assembled_boundary, limit))
+            if collect_agg:
+                mseen_tbls.append(mseen_fn(assembled_boundary))
+                counts_tbls.append(
+                    _count_partials_tbl(assembled_boundary))
+            assembled = interior.union(
+                ray.data.from_arrow(assembled_boundary))
+        else:
+            assembled = interior
 
     allowed = allowed_pairs_from_df(
         _tbls_to_df(seg_tbls), "entity_key", "seg_request",
         "seg_first_seen", limit)
     counts_df = _tbls_to_df(counts_tbls) if collect_agg else None
     mseen_df = _tbls_to_df(mseen_tbls) if collect_agg else None
+    metric_allowed: frozenset[str] = frozenset()
+    if collect_agg and mseen_df is not None:
+        metric_allowed = allowed_pairs_from_df(
+            mseen_df, "entity_key", "seg_request", "seg_first_seen",
+            limit)
 
     if not with_decide:
         return DecidedBuild(decided=assembled, allowed=allowed,
-                            counts_df=counts_df, mseen_df=mseen_df)
+                            counts_df=counts_df, mseen_df=mseen_df,
+                            metric_allowed=metric_allowed)
+
+    # the flush partials fold into the decide pass: metric_allowed is
+    # known BEFORE decide launches, so the winner top-K partials and
+    # the A4 histogram partials ride the collector — no extra scan of
+    # the decided table exists anywhere in the pipeline
+    win_fn = None
+    if winner_scan:
+        from asserts_otel_processor_ray.stages.aggregate import (
+            histogram_partial_fn)
+        hist_fn = (histogram_partial_fn(config, metric_allowed)
+                   if capture_hist else None)
+        win_fn = _winner_partials_fn(config.per_request_topk, hist_fn)
 
     stage_d = DecideStage(config, allowed)
-    if drop_intermediate:
-        def decide_fn(t: pa.Table) -> pa.Table:
-            out = stage_d(t)
+
+    def decide_fn(t: pa.Table) -> pa.Table:
+        out = stage_d(t)
+        if win_fn is not None:
+            _ray.get(collector.add.remote(
+                "winhist", ("d",) + block_key(t),
+                _ray.put(win_fn(out))))
+        if drop_intermediate:
             keep = [c for c in out.schema.names
                     if c not in _INTERMEDIATE_COLS]
-            return out.select(keep)
-    else:
-        decide_fn = stage_d
+            out = out.select(keep)
+        return out
+
     decided = assembled.map_batches(
         decide_fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None, num_cpus=_heavy_scan_cpus()).materialize()
+    winhist_tbls = (drain_tables(collector, "winhist")
+                    if winner_scan else None)
     return DecidedBuild(decided=decided, allowed=allowed,
-                        counts_df=counts_df, mseen_df=mseen_df)
+                        counts_df=counts_df, mseen_df=mseen_df,
+                        metric_allowed=metric_allowed,
+                        winhist_tbls=winhist_tbls)
 
 
 def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
@@ -473,18 +562,19 @@ def select_winners(decided: "ray.data.Dataset",
     return _finish_winners(df, config, return_normal)
 
 
-def build_routed(source: "ray.data.Dataset",
-                 decided: "ray.data.Dataset",
-                 winner_map: dict[str, str]) -> "ray.data.Dataset":
+def build_routed_ex(source: "ray.data.Dataset",
+                    decided: "ray.data.Dataset",
+                    winner_map: dict[str, str]
+                    ) -> tuple["ray.data.Dataset", "pa.Table | None"]:
     """Routed turn table: scan the ORIGINAL input, keep winner convs,
-    merge the broadcast decided rows (bounded by the top-K caps)."""
+    merge the broadcast decided rows (bounded by the top-K caps).
+    Returns (routed, winner-rows table)."""
     import ray as _ray
-    from asserts_otel_processor_ray.stages.topk import collect_df
 
     if not winner_map:
         return ray.data.from_arrow(
             __import__("asserts_otel_processor_ray.stages.route",
-                       fromlist=["_empty_routed"])._empty_routed())
+                       fromlist=["_empty_routed"])._empty_routed()), None
     winner_convs = pa.array(sorted(winner_map), pa.string())
     wtbls = [t for t in _ray.get(
         decided.map_batches(
@@ -494,7 +584,13 @@ def build_routed(source: "ray.data.Dataset",
     wtbl = pa.concat_tables(wtbls)
     stage = RouteJoinStage(wtbl, winner_map)
     return source.map_batches(stage, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True), wtbl
+
+
+def build_routed(source: "ray.data.Dataset",
+                 decided: "ray.data.Dataset",
+                 winner_map: dict[str, str]) -> "ray.data.Dataset":
+    return build_routed_ex(source, decided, winner_map)[0]
 
 
 def run_pipeline(input_path: "str | ray.data.Dataset",
@@ -569,66 +665,86 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
         restored = restore_dataset(checkpoint_dir, "decided", cfg_hash)
         if restored is not None:
             decided = restored.materialize()
+    winhist_tbls = None
     if decided is None:
         b = build_decided_ex(
             source, config, num_partitions=num_partitions,
             enrich_concurrency=enrich_concurrency,
-            drop_intermediate=True, collect_agg=with_aggregates)
+            drop_intermediate=True, collect_agg=with_aggregates,
+            winner_scan=True,
+            capture_hist=with_aggregates and config.capture_metrics)
         decided = b.decided
+        winhist_tbls = b.winhist_tbls
         if checkpoint_dir is not None:
             checkpoint_dataset(decided, checkpoint_dir, "decided",
                                cfg_hash)
 
-    # aggregate partials: drained from the assemble pass's collector;
-    # on checkpoint-restore (no collector ran) recomputed in one scan
+    # aggregate partials: drained from the assemble/decide passes'
+    # collector; on checkpoint-restore (no collector ran) the partials
+    # recompute with one scan each
     counts_df = mseen_df = None
     metric_allowed: frozenset[str] = frozenset()
     hist_fn = None
     if with_aggregates:
         if b is not None:
             counts_df, mseen_df = b.counts_df, b.mseen_df
+            metric_allowed = b.metric_allowed
         else:
             agg_df = collect_df(decided.map_batches(
                 combined_partials_fn(config), batch_format="pyarrow",
                 batch_size=None, num_cpus=_heavy_scan_cpus()))
             counts_df = agg_df[agg_df["kind"].isin(["tcount", "scount"])]
             mseen_df = agg_df[agg_df["kind"] == "mseen"]
-        metric_allowed = allowed_pairs_from_df(
-            mseen_df, "entity_key", "seg_request", "seg_first_seen",
-            config.limit_per_service)
+            metric_allowed = allowed_pairs_from_df(
+                mseen_df, "entity_key", "seg_request", "seg_first_seen",
+                config.limit_per_service)
         if config.capture_metrics:
             hist_fn = histogram_partial_fn(config, metric_allowed)
+    if winhist_tbls is None:
+        # checkpoint-restore fallback: one scan of the restored table
+        scan = decided.map_batches(
+            _winner_partials_fn(config.per_request_topk, hist_fn),
+            batch_format="pyarrow", batch_size=None,
+            num_cpus=_heavy_scan_cpus())
+        winhist_tbls = list(_ray.get(scan.to_arrow_refs()))
 
-    # ONE scan of the decided table yields the winner partials AND the
-    # A4 histogram partials (kind-tagged); the merge stays in Arrow —
-    # a pandas multi-string-key groupby over blocks × label-space rows
-    # was the driver bottleneck at high block counts
+    # driver merge of the kind-tagged partials — Arrow end-to-end (a
+    # pandas multi-string-key groupby over blocks × label-space rows
+    # was the driver bottleneck at high block counts)
     import pyarrow.compute as pc
-    scan = decided.map_batches(
-        _winner_partials_fn(config.per_request_topk, hist_fn),
-        batch_format="pyarrow", batch_size=None,
-        num_cpus=_heavy_scan_cpus())
-    tbls = [t for t in _ray.get(scan.to_arrow_refs()) if t.num_rows > 0]
+    tbls = [t for t in winhist_tbls if t.num_rows > 0]
     hist_tbl = None
     if not tbls:
         winners = []
     else:
         tbl = pa.concat_tables(tbls, promote_options="permissive")
         kind = tbl.column("kind")
-        win_tbl = tbl.filter(pc.is_in(
-            kind, value_set=pa.array(["item", "ncand"], pa.string())))
         win_cols = ["kind", "conv_id", "entity", "request", "qtype",
                     "sample_type", "latency", "arrival_key", "bucket"]
-        winners = _finish_winners(
-            win_tbl.select(win_cols).to_pandas(), config)
+        # pre-reduce the (large: one per conv per bucket) normal
+        # candidates in Arrow before pandas sees them: min arrival per
+        # (entity, request, bucket); arrival_key embeds conv_id so the
+        # min selects whole rows exactly
+        nc_tbl = tbl.filter(pc.equal(kind, "ncand"))
+        if nc_tbl.num_rows:
+            mins = nc_tbl.group_by(
+                ["entity", "request", "bucket"]).aggregate(
+                [("arrival_key", "min")])
+            nc_tbl = nc_tbl.filter(pc.is_in(
+                nc_tbl.column("arrival_key"),
+                value_set=mins.column("arrival_key_min")))
+        it_tbl = tbl.filter(pc.equal(kind, "item"))
+        win_tbl = pa.concat_tables([it_tbl.select(win_cols),
+                                    nc_tbl.select(win_cols)])
+        winners = _finish_winners(win_tbl.to_pandas(), config)
         if hist_fn is not None:
             hist_tbl = tbl.filter(pc.equal(kind, "hist"))
     winner_map = {r["conv_id"]: r["sample_type"] for r in winners}
 
-    routed = build_routed(source, decided, winner_map)
-    if with_aggregates or out_dir is not None:
-        # materialize once: span_sampled, sink writes and any caller
-        # count() all read these (bounded, winner-convs-only) blocks
+    routed, wtbl = build_routed_ex(source, decided, winner_map)
+    if out_dir is not None:
+        # materialize once: sink writes and any caller count() all
+        # read these (bounded, winner-convs-only) blocks
         routed = routed.materialize()
 
     result = PipelineResult(routed=routed, winners=winners,
@@ -651,8 +767,23 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             sc, preserve_index=False)
         result.aggregates["trace_sampled_count"] = sampled_trace_counts(
             winners, config)
-        result.aggregates["span_sampled_count"] = span_counts(
-            routed, config, "span_sampled_count_total")
+        # span_sampled derives from the winner-rows broadcast table:
+        # routed = source ⋈ wtbl on (conv, turn) keeps exactly wtbl's
+        # rows, so counting wtbl == counting routed, without a scan
+        if wtbl is not None and wtbl.num_rows:
+            ssc = (wtbl.select(["namespace", "service"])
+                   .group_by(["namespace", "service"])
+                   .aggregate([([], "count_all")])
+                   .rename_columns(["namespace", "service",
+                                    "span_sampled_count_total"]))
+            ssc = ssc.add_column(0, "asserts_site", pa.array(
+                [config.site] * ssc.num_rows, pa.string()))
+            ssc = ssc.add_column(0, "asserts_env", pa.array(
+                [config.env] * ssc.num_rows, pa.string()))
+            result.aggregates["span_sampled_count"] = ssc
+        else:
+            result.aggregates["span_sampled_count"] = span_counts(
+                routed, config, "span_sampled_count_total")
         if config.capture_metrics:
             result.aggregates["latency_hist"] = (
                 latency_histogram_final_tbl(hist_tbl, config))

@@ -27,7 +27,11 @@ import ray
 
 @ray.remote(num_cpus=0)
 class BlockPartialCollector:
-    """kind → block-key → payload (small Arrow tables)."""
+    """kind → block-key → payload.
+
+    Payloads may be ObjectRefs (the pushing task ``ray.put``s into its
+    local plasma store and ships only the ref) so the actor never
+    serializes large table bytes; drain with ``drain_tables``."""
 
     def __init__(self):
         self._parts: dict[str, dict[tuple, object]] = {}
@@ -47,6 +51,15 @@ class BlockPartialCollector:
 
     def clear(self) -> None:
         self._parts.clear()
+
+
+def drain_tables(collector, kind: str) -> list:
+    """Fetch a kind's payloads, resolving ObjectRef payloads in one
+    batched ray.get."""
+    vals = ray.get(collector.tables.remote(kind))
+    refs = [v for v in vals if isinstance(v, ray.ObjectRef)]
+    plain = [v for v in vals if not isinstance(v, ray.ObjectRef)]
+    return plain + (ray.get(refs) if refs else [])
 
 
 def block_key(t) -> tuple:
