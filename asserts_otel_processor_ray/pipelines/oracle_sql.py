@@ -396,6 +396,40 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
         "t_winners": p(
             " SELECT conv_id, entity, request, qtype, sample_type, "
             "latency FROM winners"),
+        # K4 incremental-flush mode: top-K per event-time flush window
+        # (window = conv arrival bucket parsed from arrival_key[:20];
+        # 600s mirrors queries.WINDOWED_QUERY_SECONDS)
+        "t_windowed_winners": p(f""",
+  wtraces AS (
+    SELECT *, CAST(substr(arrival_key, 1, 20) AS BIGINT) // 600000000
+      AS flush_window
+    FROM decided WHERE is_trace_row),
+  wes AS (
+    SELECT flush_window, conv_id, trace_entity AS entity,
+      trace_request AS request,
+      CASE WHEN trace_sample_type = 'error' THEN 'error' ELSE 'slow' END
+        AS qtype,
+      trace_sample_type AS sample_type, trace_latency AS latency,
+      arrival_key
+    FROM wtraces WHERE trace_sample_type IS NOT NULL),
+  wnorm AS (
+    SELECT flush_window, conv_id, ncand_entity AS entity,
+      ncand_request AS request, 'slow' AS qtype, 'normal' AS sample_type,
+      ncand_latency AS latency, arrival_key
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY flush_window,
+        ncand_entity, ncand_request, ncand_bucket
+        ORDER BY arrival_key) AS rn
+      FROM wtraces WHERE is_ncand) WHERE rn = 1),
+  witems AS (
+    SELECT * FROM wes UNION ALL SELECT * FROM wnorm),
+  wwinners AS (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY flush_window, entity,
+        request, qtype ORDER BY latency DESC, arrival_key DESC) AS rn
+      FROM witems) WHERE rn <= {config.per_request_topk})
+  SELECT flush_window, conv_id, entity, request, qtype, sample_type,
+    latency FROM wwinners"""),
         "t_routed_error": p(routed_sel + " SELECT " + routed_cols
                             + " FROM routed WHERE sample_type = 'error'"),
         "t_routed_slow": p(routed_sel + " SELECT " + routed_cols

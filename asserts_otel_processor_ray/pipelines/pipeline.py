@@ -239,7 +239,7 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
 
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
-        num_partitions = max(8, ncpus * 2)
+        num_partitions = max(32, ncpus * 2)
     # default min_parallelism (200) fragments the sort into hundreds of
     # small blocks; every later scan then pays per-task overhead × blocks
     for attr in ("min_parallelism", "read_op_min_num_blocks"):
@@ -614,7 +614,7 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     import ray as _ray
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     n_read = num_partitions if num_partitions is not None \
-        else max(8, ncpus * 2)
+        else max(32, ncpus * 2)
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
     # lineage key = config hash + input identity: a rerun with the same
@@ -853,7 +853,7 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
     window_us = int(window_seconds * 1_000_000)
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     n_read = num_partitions if num_partitions is not None \
-        else max(8, ncpus * 2)
+        else max(32, ncpus * 2)
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
     cfg_hash = (config.config_hash() + "-"

@@ -219,6 +219,42 @@ def q_agg_latency_hist(sf_dir: str) -> pa.Table:
     return latency_histogram(art["decided"], config, metric_allowed)
 
 
+# flush-window width for the windowed-winners correctness query (K4
+# incremental mode); mirrored in oracle_sql.build_oracle_queries
+WINDOWED_QUERY_SECONDS = 600
+
+
+def q_windowed_winners(sf_dir: str) -> pa.Table:
+    """K4 windowed flush: top-K winners per event-time flush window
+    (the per-window analog of t_winners)."""
+    from asserts_otel_processor_ray.pipelines.pipeline import (
+        _finish_winners, _winner_partials_fn)
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    art = artifacts(sf_dir)
+    config = art["config"]
+    window_us = WINDOWED_QUERY_SECONDS * 1_000_000
+    df = collect_df(art["decided"].map_batches(
+        _winner_partials_fn(config.per_request_topk,
+                            window_us=window_us),
+        batch_format="pyarrow", batch_size=None))
+    rows: list[tuple] = []
+    if not df.empty:
+        for w, wdf in df.groupby("window", sort=True):
+            for r in _finish_winners(wdf, config):
+                rows.append((int(w), r["conv_id"], r["entity"],
+                             r["request"], r["qtype"], r["sample_type"],
+                             r["latency"]))
+    return pa.table({
+        "flush_window": pa.array([r[0] for r in rows], pa.int64()),
+        "conv_id": pa.array([r[1] for r in rows], pa.string()),
+        "entity": pa.array([r[2] for r in rows], pa.string()),
+        "request": pa.array([r[3] for r in rows], pa.string()),
+        "qtype": pa.array([r[4] for r in rows], pa.string()),
+        "sample_type": pa.array([r[5] for r in rows], pa.string()),
+        "latency": pa.array([r[6] for r in rows], pa.float64()),
+    })
+
+
 CORE_QUERIES = {
     "t_parse": q_parse,
     "t_enrich": q_enrich,
@@ -236,4 +272,5 @@ CORE_QUERIES = {
     "t_agg_sampled_count": q_agg_sampled_count,
     "t_agg_span_sampled": q_agg_span_sampled,
     "t_agg_latency_hist": q_agg_latency_hist,
+    "t_windowed_winners": q_windowed_winners,
 }
