@@ -212,6 +212,21 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_ann_lsh(sf_dir: str) -> pa.Table:
+    """ANN top-k via banded hyperplane-LSH candidate pruning (the scale
+    path of e_ann_topk; rows-only — approximate by construction, its
+    recall vs the exact path is pinned by tests/test_extra_ops.py)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pa.compute.less(tbl.column("vec_id"), 10)
+    qt = tbl.filter(qmask)
+    qids = qt.column("vec_id").to_numpy()
+    dim = len(qt.column("embedding")[0])
+    df = S.ann_topk_lsh(_emb(sf_dir), S._matrix(qt), qids, k=5, dim=dim,
+                        exclude_ids=frozenset(int(i) for i in qids))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 class _KnnLabelStage:
     def __init__(self, train_ref):
         import ray as _ray
@@ -316,6 +331,7 @@ EXTRA_QUERIES = {
     "d_simhash": q_simhash,
     "d_simhash_pairs": q_simhash_pairs,
     "e_ann_topk": q_ann_topk,
+    "e_ann_lsh": q_ann_lsh,
     "e_knn_label": q_knn_label,
     "e_embedding_near_dup": q_embedding_near_dup,
     "e_lsh_buckets": q_lsh_buckets,

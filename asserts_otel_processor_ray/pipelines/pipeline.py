@@ -149,6 +149,7 @@ class DecidedBuild:
     mseen_df: "pd.DataFrame | None" = None    # metric-cap first-seen pairs
     metric_allowed: frozenset[str] = frozenset()
     winhist_tbls: "list[pa.Table] | None" = None  # winner(+hist) partials
+    winhist_coverage: int = 0   # Σ input rows covered by winhist_tbls
 
 
 def _seg_cap_partial(t: pa.Table, limit: int) -> pa.Table:
@@ -392,9 +393,13 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     def decide_fn(t: pa.Table) -> pa.Table:
         out = stage_d(t)
         if win_fn is not None:
+            # payload carries the input block's row count so the drain
+            # can PROVE full coverage (Σ rows == decided.count()); any
+            # lost or key-collided partial fails the check and the
+            # caller falls back to an explicit scan
             _ray.get(collector.add.remote(
                 "winhist", ("d",) + block_key(t),
-                _ray.put(win_fn(out))))
+                (t.num_rows, win_fn(out))))
         if drop_intermediate:
             keep = [c for c in out.schema.names
                     if c not in _INTERMEDIATE_COLS]
@@ -404,12 +409,17 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     decided = assembled.map_batches(
         decide_fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None, num_cpus=_heavy_scan_cpus()).materialize()
-    winhist_tbls = (drain_tables(collector, "winhist")
-                    if winner_scan else None)
+    winhist_tbls = None
+    winhist_coverage = 0
+    if winner_scan:
+        pairs = drain_tables(collector, "winhist")
+        winhist_tbls = [t for _, t in pairs]
+        winhist_coverage = sum(n for n, _ in pairs)
     return DecidedBuild(decided=decided, allowed=allowed,
                         counts_df=counts_df, mseen_df=mseen_df,
                         metric_allowed=metric_allowed,
-                        winhist_tbls=winhist_tbls)
+                        winhist_tbls=winhist_tbls,
+                        winhist_coverage=winhist_coverage)
 
 
 def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
@@ -700,8 +710,15 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
                 config.limit_per_service)
         if config.capture_metrics:
             hist_fn = histogram_partial_fn(config, metric_allowed)
+    if (winhist_tbls is not None and b is not None
+            and b.winhist_coverage != decided.count()):
+        # a collected partial went missing (defense in depth; the known
+        # cause — block-key collision on hot-conversation middle blocks
+        # — is fixed at the key level) — recompute with an explicit scan
+        winhist_tbls = None
     if winhist_tbls is None:
-        # checkpoint-restore fallback: one scan of the restored table
+        # checkpoint-restore / coverage-mismatch fallback: one scan of
+        # the materialized decided table
         scan = decided.map_batches(
             _winner_partials_fn(config.per_request_topk, hist_fn),
             batch_format="pyarrow", batch_size=None,

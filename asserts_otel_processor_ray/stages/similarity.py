@@ -121,6 +121,79 @@ class HyperplaneLSH:
         })
 
 
+def ann_topk_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
+                 query_ids, k: int, dim: int,
+                 exclude_ids: frozenset | None = None,
+                 bands: int = 8, bits_per_band: int = 2) -> pd.DataFrame:
+    """ANN top-k via banded hyperplane LSH: each batch scores ONLY the
+    vectors that share ≥1 band bucket with each query (the scale path —
+    per-batch candidate sets shrink with bits_per_band), then the
+    bounded per-batch top-k partials merge on the driver like the exact
+    path.  Approximate: recall < 1 when a true neighbor collides with a
+    query in no band."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    lsh = HyperplaneLSH(dim, nbits=bands * bits_per_band)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qsig = lsh.signature(qm)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    mask = np.uint64((1 << bits_per_band) - 1)
+    qbands = np.stack([(qsig >> np.uint64(b * bits_per_band)) & mask
+                       for b in range(bands)], axis=1)  # (nq, bands)
+    exclude = exclude_ids or frozenset()
+    ref = ray.put({"qm": qm, "qids": qids, "qbands": qbands})
+
+    class _Stage:
+        def __init__(self, ref):
+            d = ray.get(ref)
+            self.qm, self.qids, self.qbands = (d["qm"], d["qids"],
+                                               d["qbands"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            keep = (~np.isin(ids, list(exclude)) if exclude
+                    else np.ones(len(ids), bool))
+            ids = ids[keep]
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "cos": pa.array([], pa.float64())})
+            if len(ids) == 0:
+                return empty
+            m = _normalize(_matrix(batch)[keep])
+            sig = lsh.signature(m)
+            vbands = np.stack(
+                [(sig >> np.uint64(b * bits_per_band)) & mask
+                 for b in range(bands)], axis=1)      # (nv, bands)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(self.qids)):
+                cand = (vbands == self.qbands[qi]).any(axis=1)
+                if not cand.any():
+                    continue
+                sims = m[cand] @ self.qm[qi]
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.append(np.full(kk, self.qids[qi], np.int64))
+                out_n.append(ids[cand][idx])
+                out_c.append(sims[idx])
+            if not out_q:
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), pa.float64()),
+            })
+
+    part = ds.map_batches(_Stage, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=(1, 8))
+    df = collect_df(part)
+    if df.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+    df = df[df["rank"] <= k]
+    return df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 class BruteForcePairs:
     """map_batches stage for exact near-dup pairs: each batch's vectors
     against the broadcast full matrix (baseline path; the LSH-bucketed

@@ -27,23 +27,29 @@ import ray
 
 @ray.remote(num_cpus=0)
 class BlockPartialCollector:
-    """kind → block-key → payload.
+    """kind → block-key → pickled payload bytes.
 
-    Payloads may be ObjectRefs (the pushing task ``ray.put``s into its
-    local plasma store and ships only the ref) so the actor never
-    serializes large table bytes; drain with ``drain_tables``."""
+    CRITICAL: a plasma-promoted actor argument deserializes to Arrow
+    tables whose buffers are ZERO-COPY VIEWS over the argument object
+    in shared memory; once Ray releases that argument the pages are
+    reused and a stored table silently corrupts (observed as
+    nondeterministically shrunken aggregates under raylet worker
+    churn).  The actor therefore deep-copies every payload into its own
+    heap via pickle before storing."""
 
     def __init__(self):
-        self._parts: dict[str, dict[tuple, object]] = {}
+        self._parts: dict[str, dict[tuple, bytes]] = {}
 
     def add(self, kind: str, key: tuple, payload) -> bool:
-        self._parts.setdefault(kind, {})[key] = payload
+        import pickle
+        self._parts.setdefault(kind, {})[key] = pickle.dumps(payload)
         return True
 
     def add_many(self, items: list[tuple]) -> bool:
         """items = [(kind, key, payload), ...] — one round trip per block."""
+        import pickle
         for kind, key, payload in items:
-            self._parts.setdefault(kind, {})[key] = payload
+            self._parts.setdefault(kind, {})[key] = pickle.dumps(payload)
         return True
 
     def tables(self, kind: str) -> list:
@@ -54,17 +60,30 @@ class BlockPartialCollector:
 
 
 def drain_tables(collector, kind: str) -> list:
-    """Fetch a kind's payloads, resolving ObjectRef payloads in one
-    batched ray.get."""
+    """Fetch a kind's payloads (pickled by the actor — see class
+    docstring) and deserialize them on the caller."""
+    import pickle
     vals = ray.get(collector.tables.remote(kind))
-    refs = [v for v in vals if isinstance(v, ray.ObjectRef)]
-    plain = [v for v in vals if not isinstance(v, ray.ObjectRef)]
-    return plain + (ray.get(refs) if refs else [])
+    return [pickle.loads(v) if isinstance(v, bytes) else v
+            for v in vals]
 
 
 def block_key(t) -> tuple:
-    """Stable identity of a sorted block: (first conv, last conv, rows)."""
+    """Stable identity of a sorted block: first/last (conv, turn) plus
+    row count.
+
+    The turn indices are LOAD-BEARING: a hot conversation spanning 3+
+    blocks makes every middle block consist of that conversation alone,
+    so (first_conv, last_conv, nrows) collides between two equal-sized
+    middle blocks and one block's partials silently overwrite the
+    other's (observed: ~one block of rows vanishing from the assembled
+    table whenever sort sampling produced equal-sized middle blocks).
+    The (conv, turn) ranges of distinct sorted blocks are disjoint, so
+    this key cannot collide."""
     if t.num_rows == 0:
-        return ("", "", 0)
+        return ("", -1, "", -1, 0)
     conv = t.column("conv_id")
-    return (str(conv[0]), str(conv[t.num_rows - 1]), t.num_rows)
+    turn = t.column("turn_idx")
+    n = t.num_rows
+    return (str(conv[0]), int(turn[0].as_py()),
+            str(conv[n - 1]), int(turn[n - 1].as_py()), n)

@@ -60,6 +60,21 @@ def test_two_phase_equals_bruteforce_across_blocks():
     assert len(got) == 2 * LIMIT
 
 
+def test_block_key_distinguishes_middle_blocks_of_hot_conv():
+    """A conversation spanning 3+ sorted blocks makes every middle
+    block consist of that conversation alone; two equal-sized middle
+    blocks MUST NOT share a collector key (regression: silent edge-row
+    loss via keyed overwrite whenever sort sampling produced equal
+    middle blocks)."""
+    from asserts_otel_processor_ray.state.collector import block_key
+    t1 = pa.table({"conv_id": pa.array(["X"] * 48),
+                   "turn_idx": pa.array(list(range(0, 48)), pa.int32())})
+    t2 = pa.table({"conv_id": pa.array(["X"] * 48),
+                   "turn_idx": pa.array(list(range(48, 96)), pa.int32())})
+    assert block_key(t1) != block_key(t2)
+    assert block_key(t1) == block_key(t1)
+
+
 def test_hot_pair_min_survives_local_cap():
     """A pair whose global min first-seen sits in one block must be
     admitted even when other blocks saw it later (semilattice proof in

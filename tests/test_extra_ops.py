@@ -142,7 +142,22 @@ def test_extra_query_matches_oracle(name, ducks, ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-ROWS_ONLY = ["d_minhash_pairs", "e_lsh_buckets"]
+ROWS_ONLY = ["d_minhash_pairs", "e_lsh_buckets", "e_ann_lsh"]
+
+
+def test_ann_lsh_recall_vs_exact(ray_session):
+    """The LSH-pruned ANN path must recover most of the exact top-5
+    neighbor sets on the synthetic embeddings (recall pinned ≥ 0.8 so a
+    banding regression is caught)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_ann_lsh, q_ann_topk)
+    exact = q_ann_topk(SF).to_pandas()
+    approx = q_ann_lsh(SF).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(e[q] & a.get(q, set())) for q in e.index)
+    total = sum(len(v) for v in e.values)
+    assert hits / total >= 0.8
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
