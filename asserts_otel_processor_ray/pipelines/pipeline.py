@@ -16,9 +16,18 @@ Physical shape (designed for a multi-node cluster; tested local):
   bounded driver merge; nothing else shuffles
 * winner sets are bounded (≤ services × limit × K) and broadcast back
   into the route stage as plain dicts
-* two materialize() checkpoints (sorted, decided) because multiple
-  branches consume them; at 100 TB these become partitioned Parquet
-  checkpoints via state/checkpoint.py instead of object-store caching.
+* exactly FOUR Ray executions per run: read→parse→enrich→slim→sort→
+  assemble (the sort stays lazy; assemble is its only consumer),
+  decide (whose map also emits the winner/histogram partials through
+  the collector), winner-row extraction, and route; the two
+  materialize() points (assembled, decided) exist because a later
+  stage needs the earlier one complete — at 100 TB they become
+  partitioned Parquet checkpoints via state/checkpoint.py instead of
+  object-store caching
+* per-block partials (edge rows, admission/metric caps, A1-A4 counts,
+  winner top-K + histogram) ride a zero-CPU collector actor keyed by
+  the block's (conv, turn) range — see state/collector.py for the
+  delivery/dedup/deep-copy contract.
 """
 
 from __future__ import annotations
