@@ -198,6 +198,14 @@ class PipelineConfig:
             "asserts_site": "site",
             "normal_trace_sampling_rate_minutes": "normal_sampling_rate_minutes",
         }
+        # A YAML carrying both an alias and its canonical key would
+        # otherwise resolve by dict iteration order with no warning —
+        # refuse instead of silently picking one.
+        collisions = [k for k in aliases if k in d and aliases[k] in d]
+        if collisions:
+            raise ValueError(
+                "config contains both alias and canonical key for: "
+                + ", ".join(f"{k}/{aliases[k]}" for k in sorted(collisions)))
         d = {aliases.get(k, k): v for k, v in d.items()}
         simple = [
             "env", "site", "attributes_as_metric_labels",

@@ -4,9 +4,11 @@ search (brute-force + LSH), text analysis (token stats / quality /
 langid / fingerprint), generic stream ops (sessionize / window dedup /
 top-K) and the multimodal plumbing.
 
-Each SQL-expressible operator has a DuckDB oracle over the driver's
-pre-registered views (documents / embeddings / events); signature- and
-hash-based operators (LSH, SimHash, fingerprints) are rows-only checks.
+Every operator has a DuckDB oracle over the driver's pre-registered
+views (documents / embeddings / events).  The seeded-signature
+operators (MinHash, SimHash, hyperplane LSH, fingerprints) emit their
+permutation constants / plane matrices as SQL literals, so even they
+are byte-validated rather than rows-only.
 """
 
 from __future__ import annotations
@@ -153,11 +155,13 @@ def q_token_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-# ---- near-dup (rows-only: signature/hash operators) ----------------------
+# ---- near-dup (signature/hash operators) ---------------------------------
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs via the distributed
-    band-groupby-verify pipeline (no whole-corpus driver structure)."""
+    band-groupby-verify pipeline (no whole-corpus driver structure);
+    hot buckets are skipped by the DEFAULT_MAX_BUCKET guard (and the
+    generated SQL oracle applies the same cap)."""
     verified = D.minhash_pairs_distributed(_docs(sf_dir), threshold=0.5)
     return pa.Table.from_pandas(verified, preserve_index=False)
 
@@ -186,8 +190,9 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
 
 def q_lsh_buckets(sf_dir: str) -> pa.Table:
     """Scale path for near-dup/ANN: hyperplane-LSH bucket histogram
-    (rows-only; buckets are deterministic given the seeded planes).
-    The count is a distributed Ray groupby."""
+    (buckets are deterministic given the seeded planes, which the SQL
+    oracle embeds as literals).  The count is a distributed Ray
+    groupby."""
     ds = _emb(sf_dir)
     dim = len(ds.take(1)[0]["embedding"])
     sig = ds.map_batches(S.HyperplaneLSH(dim), batch_format="pyarrow")
@@ -214,8 +219,10 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
 
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     """ANN top-k via banded hyperplane-LSH candidate pruning (the scale
-    path of e_ann_topk; rows-only — approximate by construction, its
-    recall vs the exact path is pinned by tests/test_extra_ops.py)."""
+    path of e_ann_topk; approximate vs the EXACT top-k by construction
+    — recall pinned by tests/test_extra_ops.py — but deterministic
+    given the seeded planes, so the generated SQL oracle reproduces it
+    exactly)."""
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     qmask = pa.compute.less(tbl.column("vec_id"), 10)
@@ -291,16 +298,35 @@ def q_window_dedup(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def _topk_users_block_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block top-10 per event_type over globally-unique
+    (event_type, user_id) count rows — exact two-phase top-K (each pair
+    appears in exactly one block after the distributed groupby, so the
+    global top-10 is the top-10 of the per-block top-10s)."""
+    df = df.sort_values(["event_type", "n_events", "user_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    rank = df.groupby("event_type", sort=False).cumcount()
+    return df[rank < 10]
+
+
 def q_topk_users(sf_dir: str) -> pa.Table:
+    """Top-10 users per event type: per-batch count partial →
+    DISTRIBUTED groupby-sum final → per-block top-10 partial → bounded
+    driver final (the driver never holds O(distinct users) rows)."""
+    from ray.data.aggregate import Sum
     part = _events(sf_dir).map_batches(E.count_topk_partial,
                                        batch_format="pyarrow")
-    df = collect_df(part)
-    agg = df.groupby(["event_type", "user_id"], sort=False)[
-        "partial_count"].sum().reset_index(name="n_events")
-    agg = agg.sort_values(["event_type", "n_events", "user_id"],
-                          ascending=[True, False, True], kind="mergesort")
-    agg["rank"] = agg.groupby("event_type", sort=False).cumcount() + 1
-    out = agg[agg["rank"] <= 10].reset_index(drop=True)
+    agg = part.groupby(["event_type", "user_id"]).aggregate(
+        Sum("partial_count"))
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "user_id", "n_events"]),
+        batch_format="pyarrow")
+    topped = agg.map_batches(_topk_users_block_partial,
+                             batch_format="pandas")
+    out = _topk_users_block_partial(collect_df(topped))
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("event_type", sort=False).cumcount() + 1
+    out["n_events"] = out["n_events"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -340,6 +366,144 @@ EXTRA_QUERIES = {
     "g_topk_users": q_topk_users,
     "m_media_features": q_media_features,
 }
+
+
+# ---- generated oracles for the seeded-signature operators ----------------
+#
+# The MinHash permutation constants, LSH hyperplanes and band folds are
+# deterministic given their seeds, so the oracle SQL embeds them as
+# literals — the same treatment that graduated d_simhash to a full
+# oracle.  Validated byte-for-byte at sf0.001/0.01/0.1.
+
+_TOKHASH_SQL = ("CAST(CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)"
+                " % 2305843009213693951 AS HUGEINT)")
+_W64 = 1 << 64
+
+
+def _minhash_pairs_sql(k: int = 32, bands: int = 8, rows: int = 4,
+                       threshold: float = 0.5,
+                       max_bucket: int = D.DEFAULT_MAX_BUCKET) -> str:
+    """SQL mirror of dedup.minhash_pairs_distributed: md5 token hashes →
+    rolling 3-shingles → distinct per doc → 32 seeded permutation mins →
+    8 uint64-fold band hashes → bucket self-join (with the same
+    hot-bucket cap) → exact Jaccard ≥ threshold."""
+    a, b = D._hash_params(k)
+    sig_cols = ",\n    ".join(
+        f"list_min([(CAST({int(a[i])} AS HUGEINT) * x + {int(b[i])}) "
+        f"% 2305843009213693951 FOR x IN sd]) AS mh{i:02d}"
+        for i in range(k))
+    band_exprs = []
+    for bi in range(bands):
+        expr = f"mh{bi * rows:02d} % {_W64}"
+        for r in range(1, rows):
+            expr = (f"((({expr}) * 1000003 + mh{bi * rows + r:02d}) "
+                    f"% {_W64})")
+        band_exprs.append(f"({expr}) AS bh{bi}")
+    band_list = ", ".join(f"bh{i}" for i in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+hsh AS (
+  SELECT doc_id, [{_TOKHASH_SQL} FOR x IN t] AS h FROM toks),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) < 3
+      THEN [list_reduce(h, (a, b) -> (a * 1000003 + b)
+                               % 2305843009213693951)]
+      ELSE [((((h[i] * 1000003 + h[i+1]) % 2305843009213693951)
+              * 1000003 + h[i+2]) % 2305843009213693951)
+            FOR i IN generate_series(1, len(h) - 2)]
+    END AS s
+  FROM hsh),
+shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM shd),
+bh AS (
+  SELECT doc_id, {", ".join(band_exprs)} FROM sig),
+bands AS (
+  SELECT doc_id, i AS band_id, [{band_list}][i+1] AS band_hash
+  FROM bh, generate_series(0, {bands - 1}) AS g(i)),
+bsz AS (SELECT band_id, band_hash, count(*) AS n
+        FROM bands GROUP BY 1, 2),
+ok AS (SELECT bands.* FROM bands JOIN bsz USING (band_id, band_hash)
+       WHERE n <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM ok a JOIN ok c ON a.band_id = c.band_id
+   AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id),
+jac AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE) /
+    CAST(len(x.sd) + len(y.sd) - len(list_intersect(x.sd, y.sd))
+         AS DOUBLE) AS jaccard
+  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+            JOIN shd y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}"""
+
+
+# the driver testdata's embedding dimension (constant across sf dirs);
+# the seeded hyperplane literals below are generated for this dim
+_EMB_DIM = 64
+
+
+def _lsh_plane_literals(dim: int = _EMB_DIM, nbits: int = 16,
+                        seed: int = 99) -> list[str]:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    return ["[" + ", ".join(repr(float(v)) for v in row) + "]"
+            for row in planes]
+
+
+def _lsh_sig_terms(lits: list[str]) -> str:
+    return " + ".join(
+        f"CASE WHEN list_dot_product(e, CAST({lits[i]} AS DOUBLE[])) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(len(lits)))
+
+
+def _lsh_buckets_sql(dim: int = _EMB_DIM, nbits: int = 16) -> str:
+    """SQL mirror of similarity.HyperplaneLSH bucket histogram: the
+    seeded planes are emitted as DOUBLE[] literals; a bucket bit is a
+    strict-positive dot product (float64 both sides)."""
+    bit_terms = _lsh_sig_terms(_lsh_plane_literals(dim, nbits))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, CAST({bit_terms} AS BIGINT) AS bucket FROM v)
+SELECT bucket, count(*) AS n_vectors FROM s GROUP BY bucket"""
+
+
+def _ann_lsh_sql(dim: int = _EMB_DIM, bands: int = 8,
+                 bits_per_band: int = 2, k: int = 5) -> str:
+    """SQL mirror of similarity.ann_topk_lsh: same seeded planes,
+    2-bit band chunks, candidates = vectors sharing ≥1 band with a
+    query, exact cosine rank (ties → neighbor_id asc) top-k."""
+    nbits = bands * bits_per_band
+    bit_terms = _lsh_sig_terms(_lsh_plane_literals(dim, nbits))
+    mask = (1 << bits_per_band) - 1
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, CAST({bit_terms} AS BIGINT) AS sig FROM v),
+sb AS (SELECT vec_id, i AS band_id,
+              (sig >> ({bits_per_band} * i)) & {mask} AS chunk
+       FROM s, generate_series(0, {bands - 1}) AS g(i)),
+q AS (SELECT * FROM sb WHERE vec_id < 10),
+t AS (SELECT * FROM sb WHERE vec_id >= 10),
+cand AS (SELECT DISTINCT q.vec_id AS qid, t.vec_id AS nid
+         FROM q JOIN t ON q.band_id = t.band_id AND q.chunk = t.chunk),
+c AS (SELECT cand.qid, cand.nid,
+        list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM cand JOIN embeddings a ON cand.qid = a.vec_id
+                JOIN embeddings b ON cand.nid = b.vec_id)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rank FROM (
+  SELECT qid, nid,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM c)
+WHERE rn <= {k}"""
 
 
 def _langid_sql() -> str:
@@ -549,6 +713,9 @@ SELECT event_type, user_id, n_events, rn AS rank FROM (
     ORDER BY n_events DESC, user_id) AS rn
   FROM c)
 WHERE rn <= 10""",
+    "d_minhash_pairs": _minhash_pairs_sql(),
+    "e_lsh_buckets": _lsh_buckets_sql(),
+    "e_ann_lsh": _ann_lsh_sql(),
     "m_media_features": """
 SELECT doc_id AS media_id, 'image' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -466,11 +466,14 @@ def _winner_partials_fn(k: int, hist_fn=None, window_us: int | None = None):
     incremental-flush mode (reference cadence: sampler.go:215-276)."""
     import pyarrow.compute as pc
 
-    def _window_of(arrival_key: np.ndarray) -> np.ndarray:
-        if len(arrival_key) == 0:
+    def _window_of(arrival_col) -> np.ndarray:
+        """Flush window from the arrival key's 20-digit µs prefix —
+        vectorized Arrow slice + cast (no per-row int())."""
+        if len(arrival_col) == 0:
             return np.array([], np.int64)
-        us = np.array([int(a[:20]) for a in arrival_key], np.int64)
-        return us // window_us
+        us = pc.cast(pc.utf8_slice_codeunits(arrival_col, 0, 20),
+                     pa.int64())
+        return (us.to_numpy(zero_copy_only=False) // window_us)
 
     def fn(t: pa.Table) -> pa.Table:
         full = t                       # hist partial needs EVERY turn
@@ -495,7 +498,7 @@ def _winner_partials_fn(k: int, hist_fn=None, window_us: int | None = None):
         from asserts_otel_processor_ray.stages.topk import (
             _ITEM_KEYS, topk_df)
         if window_us is not None:
-            es_df["window"] = _window_of(es_df["arrival_key"].to_numpy())
+            es_df["window"] = _window_of(es.column("arrival_key"))
             es_df = topk_df(es_df, k, keys=["window", *_ITEM_KEYS])
         else:
             es_df = topk_df(es_df, k)
@@ -516,7 +519,7 @@ def _winner_partials_fn(k: int, hist_fn=None, window_us: int | None = None):
             "bucket": nc.column("ncand_bucket").to_numpy(),
         })
         if window_us is not None:
-            nc_df["window"] = _window_of(nc_df["arrival_key"].to_numpy())
+            nc_df["window"] = _window_of(nc.column("arrival_key"))
         if not nc_df.empty:
             nc_keys = ["entity", "request", "bucket"]
             if window_us is not None:

@@ -270,11 +270,16 @@ def histogram_partial_fn(config: PipelineConfig,
             empty["latency_count"] = pa.nulls(0, pa.int64())
             return pa.table(empty)
 
+        # fill_null on the base keys too: pd.factorize maps nulls to -1,
+        # which would alias adjacent packed series ids (code a with null
+        # next-key collides with code a-1 with last key) — parse
+        # guarantees non-null today, but a null must not silently merge
+        # distinct series
         src_arrays = {
-            "namespace": batch.column("namespace"),
-            "service": batch.column("service"),
-            "span_kind": batch.column("kind"),
-            "status_code": batch.column("status_code"),
+            "namespace": pc.fill_null(batch.column("namespace"), ""),
+            "service": pc.fill_null(batch.column("service"), ""),
+            "span_kind": pc.fill_null(batch.column("kind"), ""),
+            "status_code": pc.fill_null(batch.column("status_code"), ""),
         }
         for lc in label_cols:
             src = _SOURCE_BY_LABEL_SUFFIX.get(lc) or extra_sources[lc]

@@ -262,7 +262,8 @@ class AssembleStage:
 
 
 def decide_batch(batch: pa.Table, config: PipelineConfig,
-                 allowed: frozenset[str]) -> pa.Table:
+                 allowed: frozenset[str],
+                 allowed_arr: "pa.Array | None" = None) -> pa.Table:
     """Apply the cardinality cap and pick each trace's sampling decision.
 
     ``allowed`` = set of "entity_key\\x00request" pairs admitted by the
@@ -293,8 +294,10 @@ def decide_batch(batch: pa.Table, config: PipelineConfig,
     pair_a = pc.binary_join_element_wise(batch.column("entity_key"),
                                          batch.column("seg_request"),
                                          PAIR_SEP)
+    if allowed_arr is None:
+        allowed_arr = pa.array(sorted(allowed), pa.string())
     seg_allowed = pc.is_in(
-        pair_a, value_set=pa.array(sorted(allowed), pa.string())
+        pair_a, value_set=allowed_arr
     ).to_numpy(zero_copy_only=False)
 
     # rows of a conversation are contiguous (assemble emits scan order);
@@ -372,6 +375,10 @@ class DecideStage:
     def __init__(self, config: PipelineConfig, allowed: frozenset[str]):
         self.config = config
         self.allowed = allowed
+        # per-stage state, not per-batch: the sorted value-set array is
+        # bounded (≤ services × limit) but was rebuilt on every call
+        self.allowed_arr = pa.array(sorted(allowed), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return decide_batch(batch, self.config, self.allowed)
+        return decide_batch(batch, self.config, self.allowed,
+                            self.allowed_arr)

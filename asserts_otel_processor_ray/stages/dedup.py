@@ -150,68 +150,136 @@ def minhash_band_expand_fn(k: int = 32, bands: int = 8, rows: int = 4,
     return fn
 
 
+_EMPTY_PAIRS = {"doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=float)}
+
+# Hot-bucket guard default (the standard LSH degenerate-bucket cap): a
+# bucket with more docs than this is skipped (and counted) instead of
+# verified — one boilerplate/empty-doc bucket must not run an
+# O(|bucket|²·shingles) verify inside a single map_groups task.
+DEFAULT_MAX_BUCKET = 256
+
+
 def verify_bucket_df(group: pd.DataFrame,
                      threshold: float) -> pd.DataFrame:
     """Per-bucket body: exact Jaccard over shingle lists for every pair
-    sharing this (band_id, band_hash) bucket."""
-    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                          "doc_b": pd.Series(dtype=np.int64),
-                          "jaccard": pd.Series(dtype=float)})
+    sharing this (band_id, band_hash) bucket.
+
+    Vectorized: the bucket's (doc, shingle) long table self-merges on
+    the shingle hash, so intersection sizes for ALL pairs come from one
+    groupby-size — no per-pair Python set ops."""
+    empty = pd.DataFrame(_EMPTY_PAIRS)
     if len(group) < 2:
         return empty
-    g = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sets = [frozenset(np.asarray(s).tolist()) for s in g["shingles"]]
-    rows_ = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            union = len(sets[i] | sets[j])
-            jac = len(sets[i] & sets[j]) / union if union else 0.0
-            if jac >= threshold:
-                rows_.append((int(ids[i]), int(ids[j]), jac))
-    if not rows_:
+    g = (group.drop_duplicates("doc_id").sort_values("doc_id")
+         .reset_index(drop=True))
+    if len(g) < 2:
         return empty
-    return pd.DataFrame(rows_, columns=["doc_a", "doc_b", "jaccard"])
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    sh = [np.asarray(s, dtype=np.int64) for s in g["shingles"]]
+    lens = np.array([len(s) for s in sh], dtype=np.int64)
+    if lens.sum() == 0:
+        return empty
+    flat = np.concatenate([s for s in sh if len(s)])
+    pos = np.repeat(np.arange(len(g), dtype=np.int64), lens)
+    long = pd.DataFrame({"p": pos, "h": flat})
+    m = long.merge(long, on="h")
+    m = m[m["p_x"] < m["p_y"]]
+    if m.empty:
+        return empty
+    inter = m.groupby(["p_x", "p_y"], sort=False).size()
+    pi = inter.index.get_level_values(0).to_numpy()
+    pj = inter.index.get_level_values(1).to_numpy()
+    iv = inter.to_numpy().astype(np.int64)
+    union = lens[pi] + lens[pj] - iv
+    jac = iv / union.astype(np.float64)
+    keep = jac >= threshold
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"doc_a": ids[pi[keep]], "doc_b": ids[pj[keep]],
+                         "jaccard": jac[keep]})
 
 
 def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
                               rows: int = 4, w: int = 3,
                               threshold: float = 0.5,
-                              max_bucket: int | None = None
-                              ) -> pd.DataFrame:
+                              max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                              return_stats: bool = False):
     """MinHash+LSH near-dup pairs as a real shuffle: band-expand per
     batch, ONE groupby((band_id, band_hash)) moving signatures+shingle
     lists (not documents), exact Jaccard verify inside each bucket, and
     a driver dedup of the (bounded: true near-dups only) verified pairs.
 
-    ``max_bucket`` skips degenerate hot buckets (standard LSH guard);
-    None verifies everything.
+    ``max_bucket`` (default DEFAULT_MAX_BUCKET) skips degenerate hot
+    buckets; skipped buckets are counted and logged (never silent).
+    Pass None to verify everything.  With ``return_stats`` the result is
+    (pairs_df, {"skipped_buckets": n, "max_skipped_size": m}).
     """
     banded = docs.map_batches(minhash_band_expand_fn(k, bands, rows, w),
                               batch_format="pyarrow")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         if max_bucket is not None and len(group) > max_bucket:
-            return verify_bucket_df(group.iloc[:0], threshold)
+            # marker row so the driver can count/log what was dropped
+            return pd.DataFrame({"doc_a": [np.int64(-1)],
+                                 "doc_b": [np.int64(-1)],
+                                 "jaccard": [float(len(group))]})
         return verify_bucket_df(group, threshold)
 
     out = banded.groupby(["band_id", "band_hash"]).map_groups(
         verify, batch_format="pandas")
     from asserts_otel_processor_ray.stages.topk import collect_df
     df = collect_df(out)
+    stats = {"skipped_buckets": 0, "max_skipped_size": 0}
+    if not df.empty:
+        skip = df["doc_a"] < 0
+        if skip.any():
+            sizes = df.loc[skip, "jaccard"]
+            stats = {"skipped_buckets": int(skip.sum()),
+                     "max_skipped_size": int(sizes.max())}
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash LSH: skipped %d hot bucket(s) over max_bucket="
+                "%s (largest: %d docs)", stats["skipped_buckets"],
+                max_bucket, stats["max_skipped_size"])
+            df = df[~skip]
     if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                             "doc_b": pd.Series(dtype=np.int64),
-                             "jaccard": pd.Series(dtype=float)})
-    return (df.drop_duplicates(["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        df = pd.DataFrame(_EMPTY_PAIRS)
+    else:
+        df = (df.drop_duplicates(["doc_a", "doc_b"])
+              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    if return_stats:
+        return df, stats
+    return df
 
 
 # ---- SimHash -------------------------------------------------------------
 
-def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over token hashes (bit-matrix majority vote,
-    vectorized via unpackbits + reduceat)."""
+def _hex16(vals: np.ndarray) -> np.ndarray:
+    """uint64 → 16-char lowercase hex, vectorized (big-endian bytes →
+    hexlify → fixed-width string view; no per-row format())."""
+    import binascii
+    if len(vals) == 0:
+        return np.array([], dtype="U16")
+    b = binascii.hexlify(np.ascontiguousarray(
+        vals.astype(">u8")).tobytes())
+    return np.frombuffer(b, dtype="S16").astype("U16")
+
+
+def _unhex16(hexes) -> np.ndarray:
+    """16-char hex strings → uint64, vectorized."""
+    import binascii
+    joined = "".join(hexes)
+    if not joined:
+        return np.array([], dtype=np.uint64)
+    return np.frombuffer(binascii.unhexlify(joined), dtype=">u8").astype(
+        np.uint64)
+
+
+def simhash_values_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, simhash uint64) — the internal representation; hex
+    formatting happens only at output boundaries (_hex16)."""
     doc_id = batch.column("doc_id").to_numpy()
     toks = _tokens_series(batch.column("text"))
     ex = toks.explode()
@@ -223,20 +291,24 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     sums = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 64)
     maj = (sums * 2 > lens[:, None]).astype(np.uint8)
     packed = np.packbits(maj, axis=1, bitorder="little").view(np.uint64)
+    return doc_id, packed.ravel()
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over token hashes (bit-matrix majority vote,
+    vectorized via unpackbits + reduceat)."""
+    doc_id, vals = simhash_values_batch(batch)
     return pa.table({
         "doc_id": pa.array(doc_id, pa.int64()),
-        "simhash": pa.array([format(int(x), "016x")
-                             for x in packed.ravel()], pa.string()),
+        "simhash": pa.array(_hex16(vals), pa.string()),
     })
 
 
 def simhash_band_expand(batch: pa.Table) -> pa.Table:
     """documents → (doc_id, band_id, band_hash, simhash) long rows: the
-    4×16-bit chunk banding (any equal chunk catches hamming ≤ 3)."""
-    sim = simhash_batch(batch)
-    doc = sim.column("doc_id").to_numpy()
-    vals = np.array([int(x, 16) for x in sim.column("simhash").to_pylist()],
-                    dtype=np.uint64)
+    4×16-bit chunk banding (any equal chunk catches hamming ≤ 3).
+    Stays uint64 end-to-end — no hex round-trip in the shuffle path."""
+    doc, vals = simhash_values_batch(batch)
     frames = []
     for c in range(4):
         chunk = (vals >> np.uint64(16 * c)) & np.uint64(0xFFFF)
@@ -246,6 +318,15 @@ def simhash_band_expand(batch: pa.Table) -> pa.Table:
             "simhash": vals.astype(np.int64)}))
     return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
                                 preserve_index=False)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (unpackbits; no per-row bin())."""
+    if len(x) == 0:
+        return np.zeros(0, np.int64)
+    b = np.unpackbits(np.ascontiguousarray(
+        x.astype(np.uint64)).view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
 
 
 def simhash_verify_bucket(group: pd.DataFrame,
@@ -260,7 +341,7 @@ def simhash_verify_bucket(group: pd.DataFrame,
     vals = g["simhash"].to_numpy().astype(np.uint64)
     ii, jj = np.triu_indices(len(ids), k=1)
     x = vals[ii] ^ vals[jj]
-    ham = np.array([bin(int(v)).count("1") for v in x])
+    ham = _popcount64(x)
     hit = ham <= max_hamming
     if not hit.any():
         return empty
@@ -292,8 +373,7 @@ def simhash_near_pairs(sim_df: pd.DataFrame,
     """Near-dup pairs by SimHash: band on 4×16-bit chunks (any equal
     chunk → candidate, guaranteed to catch hamming ≤ 3), verify exact
     hamming distance."""
-    vals = np.array([int(x, 16) for x in sim_df["simhash"]],
-                    dtype=np.uint64)
+    vals = _unhex16(sim_df["simhash"].tolist())
     doc = sim_df["doc_id"].to_numpy()
     frames = []
     for c in range(4):
@@ -303,8 +383,8 @@ def simhash_near_pairs(sim_df: pd.DataFrame,
     cand = candidate_pairs(pd.concat(frames, ignore_index=True))
     if cand.empty:
         return cand.assign(hamming=pd.Series(dtype=int))
-    by_doc = dict(zip(doc, vals))
-    ham = [bin(int(by_doc[a]) ^ int(by_doc[b])).count("1")
-           for a, b in zip(cand["doc_a"], cand["doc_b"])]
-    out = cand.assign(hamming=ham)
+    val_of = pd.Series(vals, index=doc)
+    va = val_of[cand["doc_a"].to_numpy()].to_numpy().astype(np.uint64)
+    vb = val_of[cand["doc_b"].to_numpy()].to_numpy().astype(np.uint64)
+    out = cand.assign(hamming=_popcount64(va ^ vb))
     return out[out["hamming"] <= max_hamming].reset_index(drop=True)

@@ -126,7 +126,8 @@ def ducks():
 
 CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_token_jaccard", "d_fingerprint", "d_simhash",
-           "d_simhash_pairs", "e_ann_topk", "e_knn_label",
+           "d_simhash_pairs", "d_minhash_pairs", "e_ann_topk",
+           "e_ann_lsh", "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "m_media_features"]
 
@@ -140,9 +141,6 @@ def test_extra_query_matches_oracle(name, ducks, ray_session):
     assert set(a.columns) == set(b.columns)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
-
-
-ROWS_ONLY = ["d_minhash_pairs", "e_lsh_buckets", "e_ann_lsh"]
 
 
 def test_ann_lsh_recall_vs_exact(ray_session):
@@ -160,9 +158,53 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     assert hits / total >= 0.8
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_produces_rows(name, ray_session):
-    from asserts_otel_processor_ray.pipelines.extra_queries import (
-        EXTRA_QUERIES)
-    t = EXTRA_QUERIES[name](SF)
-    assert t.num_rows > 0
+def test_verify_bucket_vectorized_matches_bruteforce():
+    """The merge-based in-bucket Jaccard must equal the per-pair
+    set-ops definition."""
+    from asserts_otel_processor_ray.stages.dedup import verify_bucket_df
+    rng = np.random.default_rng(7)
+    shingles = [rng.choice(50, size=rng.integers(3, 12),
+                           replace=False).astype(np.int64)
+                for _ in range(12)]
+    g = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64),
+                      "shingles": shingles})
+    out = verify_bucket_df(g, threshold=0.2)
+    got = {(int(a), int(b)): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    want = {}
+    for i in range(12):
+        for j in range(i + 1, 12):
+            sa, sb = set(shingles[i].tolist()), set(shingles[j].tolist())
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.2:
+                want[(i, j)] = jac
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_hot_bucket_guard(ray_session):
+    """A degenerate bucket (500 near-identical docs) must be skipped by
+    the default max_bucket guard — bounded verify work, logged skips —
+    while small honest buckets still verify."""
+    import ray.data
+    from asserts_otel_processor_ray.stages.dedup import (
+        minhash_pairs_distributed)
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    texts = [boiler + f"tail{i % 2}" for i in range(500)]
+    # two honest near-dups with distinct vocabulary
+    honest = ("unique vocabulary about distributed query planners "
+              "and arrow kernels streaming shuffles " * 3)
+    texts += [honest, honest + " tiny suffix"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts}))
+    pairs, stats = minhash_pairs_distributed(
+        docs, threshold=0.5, return_stats=True)
+    assert stats["skipped_buckets"] >= 1
+    assert stats["max_skipped_size"] > 256
+    # the honest pair (500, 501) survives outside the hot bucket
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (500, 501) in got
+    # nothing from the skipped bucket leaks through as a marker row
+    assert (pairs["doc_a"] >= 0).all()
