@@ -25,9 +25,10 @@ Physical shape (designed for a multi-node cluster; tested local):
   partitioned Parquet checkpoints via state/checkpoint.py instead of
   object-store caching
 * per-block partials (edge rows, admission/metric caps, A1-A4 counts,
-  winner top-K + histogram) ride a zero-CPU collector actor keyed by
-  the block's (conv, turn) range — see state/collector.py for the
-  delivery/dedup/deep-copy contract.
+  winner top-K + histogram) ride zero-CPU collector actors SHARDED by
+  a deterministic hash of the block's (conv, turn) range key — no
+  single actor funnels every block's push — see state/collector.py
+  for the delivery/dedup/deep-copy contract.
 """
 
 from __future__ import annotations
@@ -243,7 +244,8 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     from asserts_otel_processor_ray.stages.aggregate import (
         metric_first_seen_fn)
     from asserts_otel_processor_ray.state.collector import (
-        BlockPartialCollector, block_key, drain_tables)
+        add_many_sharded, block_key, drain_tables_sharded,
+        make_collectors)
     from asserts_otel_processor_ray.stages.topk import (
         allowed_pairs_from_df)
 
@@ -271,7 +273,9 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     # lazy so sort-reduce and assemble run in ONE streamed execution
     sorted_ds = slim.sort(["conv_id", "turn_idx"])
 
-    collector = BlockPartialCollector.remote()
+    # sharded by block key so no single actor funnels every block's
+    # push round-trip (or, in driver-boundary mode, all edge rows)
+    collectors = make_collectors(max(1, ncpus // 4))
     stage = AssembleStage(config)
     limit = config.limit_per_service
     mseen_fn = metric_first_seen_fn(limit) if collect_agg else None
@@ -305,7 +309,7 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             items.append(("mseen", key, mseen_fn(out)))
             items.append(("counts", key, _count_partials_tbl(out)))
         # blocking get: the task completes only after its partials land
-        _ray.get(collector.add_many.remote(items))
+        _ray.get(add_many_sharded(collectors, items))
         return out
 
     # NB: no repartition after this — a row-balancing repartition could
@@ -315,10 +319,10 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
         batch_size=None,
         num_cpus=_heavy_scan_cpus()).materialize()
 
-    seg_tbls = drain_tables(collector, "seg")
-    mseen_tbls = (drain_tables(collector, "mseen")
+    seg_tbls = drain_tables_sharded(collectors, "seg")
+    mseen_tbls = (drain_tables_sharded(collectors, "mseen")
                   if collect_agg else [])
-    counts_tbls = (drain_tables(collector, "counts")
+    counts_tbls = (drain_tables_sharded(collectors, "counts")
                    if collect_agg else [])
 
     boundary_ds = None
@@ -339,23 +343,23 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             def boundary_push(t: pa.Table) -> pa.Table:
                 items = [(kind, ("boundary",) + block_key(t), f(t))
                          for kind, f in part_fns]
-                _ray.get(collector.add_many.remote(items))
+                _ray.get(add_many_sharded(collectors, items))
                 return t
 
             boundary_ds = boundary_ds.map_batches(
                 boundary_push, batch_format="pyarrow",
                 batch_size=None).materialize()
-            seg_tbls = drain_tables(collector, "seg")
+            seg_tbls = drain_tables_sharded(collectors, "seg")
             if collect_agg:
-                mseen_tbls = drain_tables(collector, "mseen")
-                counts_tbls = drain_tables(collector, "counts")
+                mseen_tbls = drain_tables_sharded(collectors, "mseen")
+                counts_tbls = drain_tables_sharded(collectors, "counts")
         import shutil as _sh
         _sh.rmtree(edge_scratch, ignore_errors=True)
         assembled = (interior.union(boundary_ds)
                      if boundary_ds is not None else interior)
     else:
         # driver repair (bounded: ≤ 2 convs × blocks)
-        edge_tbls = [t for t in drain_tables(collector, "edge")
+        edge_tbls = [t for t in drain_tables_sharded(collectors, "edge")
                      if t.num_rows > 0]
         if edge_tbls:
             assembled_boundary = stage(pa.concat_tables(edge_tbls))
@@ -406,9 +410,9 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             # can PROVE full coverage (Σ rows == decided.count()); any
             # lost or key-collided partial fails the check and the
             # caller falls back to an explicit scan
-            _ray.get(collector.add.remote(
-                "winhist", ("d",) + block_key(t),
-                (t.num_rows, win_fn(out))))
+            _ray.get(add_many_sharded(collectors, [
+                ("winhist", ("d",) + block_key(t),
+                 (t.num_rows, win_fn(out)))]))
         if drop_intermediate:
             keep = [c for c in out.schema.names
                     if c not in _INTERMEDIATE_COLS]
@@ -421,7 +425,7 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     winhist_tbls = None
     winhist_coverage = 0
     if winner_scan:
-        pairs = drain_tables(collector, "winhist")
+        pairs = drain_tables_sharded(collectors, "winhist")
         winhist_tbls = [t for _, t in pairs]
         winhist_coverage = sum(n for n, _ in pairs)
     return DecidedBuild(decided=decided, allowed=allowed,
@@ -640,11 +644,14 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
     # lineage key = config hash + input identity: a rerun with the same
-    # config against different data must not serve stale checkpoints
+    # config against different data must not serve stale checkpoints.
+    # In-memory Dataset inputs have only a weak (schema+count) identity,
+    # so restore is refused for them (write-side lineage still works).
     from asserts_otel_processor_ray.state.checkpoint import (
-        input_fingerprint)
-    cfg_hash = (config.config_hash() + "-"
-                + input_fingerprint(input_path))
+        input_fingerprint, is_weak_fingerprint)
+    fp = input_fingerprint(input_path)
+    cfg_hash = config.config_hash() + "-" + fp
+    allow_restore = not is_weak_fingerprint(fp)
 
     if not config.sample_traces:
         # pass-through mode (processor.go:70-74): enriched turns are
@@ -684,9 +691,11 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             checkpoint_dataset, restore_dataset)
         import os as _os
         _os.makedirs(checkpoint_dir, exist_ok=True)
-        restored = restore_dataset(checkpoint_dir, "decided", cfg_hash)
-        if restored is not None:
-            decided = restored.materialize()
+        if allow_restore:
+            restored = restore_dataset(checkpoint_dir, "decided",
+                                       cfg_hash)
+            if restored is not None:
+                decided = restored.materialize()
     winhist_tbls = None
     if decided is None:
         b = build_decided_ex(
@@ -827,7 +836,7 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
         lineage = Lineage(out_dir)
         for sink in SINKS:
             stage = sink
-            if lineage.stage_complete(stage, cfg_hash):
+            if allow_restore and lineage.stage_complete(stage, cfg_hash):
                 result.sink_paths[sink] = stage_dir(out_dir, stage)
                 continue
             sub = routed.map_batches(
@@ -838,7 +847,7 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
                 sub, out_dir, stage, cfg_hash, lineage)
         for name, agg in result.aggregates.items():
             stage = f"metrics-{name}"
-            if lineage.stage_complete(stage, cfg_hash):
+            if allow_restore and lineage.stage_complete(stage, cfg_hash):
                 result.aggregates[name] = stage_dir(out_dir, stage)
                 continue
             if isinstance(agg, pa.Table):
@@ -885,8 +894,17 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
         else max(32, ncpus * 2)
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
-    cfg_hash = (config.config_hash() + "-"
-                + input_fingerprint(input_path) + f"-w{window_us}")
+    from asserts_otel_processor_ray.state.checkpoint import (
+        is_weak_fingerprint)
+    fp = input_fingerprint(input_path)
+    # a weak (in-memory) input identity must not skip windows written
+    # by a DIFFERENT in-memory input with the same schema/count; make
+    # the lineage key unique per call so in-run lineage still records
+    # but cross-run resume is refused
+    if is_weak_fingerprint(fp):
+        import uuid
+        fp = fp + "-" + uuid.uuid4().hex[:8]
+    cfg_hash = config.config_hash() + "-" + fp + f"-w{window_us}"
 
     b = build_decided_ex(source, config, num_partitions=num_partitions,
                          drop_intermediate=True, collect_agg=False)

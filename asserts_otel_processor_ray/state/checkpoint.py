@@ -80,11 +80,29 @@ def stage_dir(root: str, stage: str) -> str:
     return os.path.join(root, stage)
 
 
+MEM_PREFIX = "mem-"
+
+
+def is_weak_fingerprint(fp: str) -> bool:
+    """True when the fingerprint cannot distinguish two different
+    inputs reliably (in-memory Datasets) — callers must refuse
+    checkpoint RESTORE for such inputs (write-side lineage within one
+    run is still fine)."""
+    return fp.startswith(MEM_PREFIX)
+
+
 def input_fingerprint(source) -> str:
     """Digest of the input's identity (file paths + size + mtime) so a
     checkpoint keyed on config alone cannot serve stale output when the
     same config is rerun against different data.  Accepts a path (file
-    or directory of parquet) or a Dataset (uses its input_files())."""
+    or directory of parquet) or a Dataset (uses its input_files()).
+
+    An in-memory Dataset (from_arrow/from_pandas → input_files() == [])
+    has no file identity; the fingerprint mixes schema + row count and
+    carries the MEM_PREFIX marker, and is_weak_fingerprint() tells
+    callers to refuse restoring a checkpoint against it (two different
+    in-memory tables with equal schema and count would otherwise share
+    a lineage key and serve each other's stale results)."""
     import hashlib
 
     if isinstance(source, str):
@@ -97,7 +115,14 @@ def input_fingerprint(source) -> str:
         try:
             files = sorted(source.input_files())
         except Exception:
-            return "ds"
+            files = []
+        if not files:
+            try:
+                ident = f"{source.schema()}|{source.count()}"
+            except Exception:
+                ident = "unknown"
+            return MEM_PREFIX + hashlib.sha256(
+                ident.encode()).hexdigest()[:12]
     h = hashlib.sha256()
     for f in files:
         try:

@@ -68,6 +68,52 @@ def drain_tables(collector, kind: str) -> list:
             for v in vals]
 
 
+# ---- sharding -------------------------------------------------------------
+#
+# One collector actor is a serialization point at ~10⁵ blocks on a real
+# cluster (every block's push is a blocking round-trip) and, in
+# driver-boundary mode, holds every edge row.  N collectors keyed by a
+# deterministic hash of the block key spread both; delivery/dedup
+# semantics are unchanged because a given block key always lands on the
+# same shard (retries overwrite the same key on the same actor).
+
+def shard_of(key: tuple, n: int) -> int:
+    """Deterministic shard index for a block key.  NOT python hash():
+    string hashing is per-process salted (PYTHONHASHSEED), and a
+    retried task on another worker must pick the SAME shard."""
+    import zlib
+    return zlib.crc32(repr(key).encode()) % n
+
+
+def make_collectors(n: int) -> list:
+    """N zero-CPU collector actors (shard with shard_of)."""
+    return [BlockPartialCollector.remote() for _ in range(max(1, n))]
+
+
+def add_many_sharded(collectors: list, items: list[tuple]):
+    """Route each (kind, key, payload) to its key's shard; one blocking
+    round-trip per shard touched (callers ray.get the returned refs so
+    the task completes only after its partials land)."""
+    by_shard: dict[int, list] = {}
+    for it in items:
+        by_shard.setdefault(shard_of(it[1], len(collectors)),
+                            []).append(it)
+    return [collectors[s].add_many.remote(batch)
+            for s, batch in by_shard.items()]
+
+
+def drain_tables_sharded(collectors: list, kind: str) -> list:
+    """drain_tables across every shard (order is irrelevant: all
+    consumers merge/concat the partials)."""
+    import pickle
+    refs = [c.tables.remote(kind) for c in collectors]
+    out = []
+    for vals in ray.get(refs):
+        out.extend(pickle.loads(v) if isinstance(v, bytes) else v
+                   for v in vals)
+    return out
+
+
 def block_key(t) -> tuple:
     """Stable identity of a sorted block: first/last (conv, turn) plus
     row count.

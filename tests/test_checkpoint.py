@@ -76,6 +76,50 @@ def test_pipeline_resume(tmp_root, ray_session):
     assert len(lin.partitions("decided", h)) >= 1
 
 
+def test_in_memory_input_never_served_stale_checkpoint(tmp_root,
+                                                       ray_session):
+    """ADVICE r2: two DIFFERENT in-memory datasets with the same config
+    (and even the same schema + row count) must not share a restorable
+    lineage key — run_pipeline must recompute, not serve the first
+    run's 'decided' checkpoint."""
+    import numpy as np
+    import ray.data
+
+    from asserts_otel_processor_ray.config import default_config
+    from asserts_otel_processor_ray.pipelines.pipeline import run_pipeline
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+    from asserts_otel_processor_ray.state.checkpoint import (
+        input_fingerprint, is_weak_fingerprint)
+
+    path = ensure_transcripts("/x/sf0.0003")
+    tbl = pq.read_table(glob.glob(os.path.join(path, "*.parquet"))[0])
+    ds1 = ray.data.from_arrow(tbl)
+    # same schema, same count, different content: drop every error
+    # marker so the winner set must differ
+    import pyarrow.compute as pc
+    t2 = tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        "text",
+        pc.replace_substring_regex(tbl.column("text"),
+                                   r"status=[45]\d\d", "status=200"))
+    ds2 = ray.data.from_arrow(t2)
+
+    f1, f2 = input_fingerprint(ds1), input_fingerprint(ds2)
+    assert is_weak_fingerprint(f1) and is_weak_fingerprint(f2)
+
+    ck = os.path.join(tmp_root, "ck")
+    cfg = default_config()
+    r1 = run_pipeline(ds1, cfg, checkpoint_dir=ck,
+                      with_aggregates=False)
+    r2 = run_pipeline(ds2, cfg, checkpoint_dir=ck,
+                      with_aggregates=False)
+    # ds2 has no error traces at all — serving ds1's checkpoint would
+    # reproduce ds1's error winners
+    assert any(v == "error" for v in r1.winner_map.values())
+    assert not any(v == "error" for v in r2.winner_map.values())
+
+
 def test_input_fingerprint_tracks_data_identity(tmp_path):
     """Same config + different input data must produce a different
     lineage key (ADVICE r1: stale-checkpoint hazard)."""
