@@ -71,23 +71,8 @@ def main(argv: list[str] | None = None) -> int:
             run_pipeline)
         cfg = (PipelineConfig.from_yaml(args.config) if args.config
                else default_config())
-        if args.window_seconds:
-            from asserts_otel_processor_ray.pipelines.pipeline import (
-                run_pipeline_windowed)
-            res = run_pipeline_windowed(
-                args.input, cfg, out_dir=args.out,
-                window_seconds=args.window_seconds)
-            summary = {
-                "windows": sorted(res["winners_by_window"]),
-                "winners": {w: len(v) for w, v
-                            in res["winners_by_window"].items()},
-                "skipped": res["skipped"],
-            }
-            print(json.dumps(summary))
-            return 0
-        res = run_pipeline(args.input, cfg, out_dir=args.out,
-                           checkpoint_dir=args.checkpoint)
-        if args.promtext:
+        def write_promtext(aggregates: dict) -> str:
+            import glob as _g
             import os
 
             import pyarrow as pa
@@ -96,9 +81,8 @@ def main(argv: list[str] | None = None) -> int:
             from asserts_otel_processor_ray.functions.promtext import (
                 render_promtext)
             aggs = {}
-            for k, v in res.aggregates.items():
+            for k, v in aggregates.items():
                 if isinstance(v, str):
-                    import glob as _g
                     fs = sorted(_g.glob(os.path.join(v, "*.parquet")))
                     if fs:
                         aggs[k] = pa.concat_tables(
@@ -109,7 +93,30 @@ def main(argv: list[str] | None = None) -> int:
             with open(path, "w") as f:
                 f.write(render_promtext(
                     aggs, buckets=cfg.latency_histogram_buckets))
-            res.sink_paths["metrics.prom"] = path
+            return path
+
+        if args.window_seconds:
+            from asserts_otel_processor_ray.pipelines.pipeline import (
+                run_pipeline_windowed)
+            res = run_pipeline_windowed(
+                args.input, cfg, out_dir=args.out,
+                window_seconds=args.window_seconds,
+                with_aggregates=args.promtext)
+            summary = {
+                "windows": sorted(res["winners_by_window"]),
+                "winners": {w: len(v) for w, v
+                            in res["winners_by_window"].items()},
+                "skipped": res["skipped"],
+            }
+            if args.promtext:
+                summary["promtext"] = write_promtext(res["aggregates"])
+            print(json.dumps(summary))
+            return 0
+        res = run_pipeline(args.input, cfg, out_dir=args.out,
+                           checkpoint_dir=args.checkpoint)
+        if args.promtext:
+            res.sink_paths["metrics.prom"] = write_promtext(
+                res.aggregates)
         summary = {
             "winners": len(res.winners),
             "sinks": res.sink_paths,

@@ -215,7 +215,8 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                      already_enriched: bool = False,
                      boundary_mode: str = "driver",
                      winner_scan: bool = False,
-                     capture_hist: bool = False) -> DecidedBuild:
+                     capture_hist: bool = False,
+                     window_us: int | None = None) -> DecidedBuild:
     """Everything up to per-trace decisions.
 
     Partitioning: the only full-data exchange is a sort on
@@ -399,7 +400,8 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             histogram_partial_fn)
         hist_fn = (histogram_partial_fn(config, metric_allowed)
                    if capture_hist else None)
-        win_fn = _winner_partials_fn(config.per_request_topk, hist_fn)
+        win_fn = _winner_partials_fn(config.per_request_topk, hist_fn,
+                                     window_us=window_us)
 
     stage_d = DecideStage(config, allowed)
 
@@ -619,6 +621,60 @@ def build_routed(source: "ray.data.Dataset",
     return build_routed_ex(source, decided, winner_map)[0]
 
 
+def _build_aggregates(config: PipelineConfig, counts_df: pd.DataFrame,
+                      winners: list[dict], wtbl: "pa.Table | None",
+                      hist_tbl: "pa.Table | None",
+                      routed: "ray.data.Dataset") -> dict[str, Any]:
+    """A1-A4 final tables from the decide pass's drained partials
+    (shared by the single-flush and windowed runners)."""
+    from asserts_otel_processor_ray.stages.aggregate import (
+        latency_histogram_final_tbl)
+    aggs: dict[str, Any] = {}
+    if counts_df is None or counts_df.empty:
+        counts_df = pd.DataFrame(
+            {"kind": pd.Series([], dtype=str),
+             "namespace": pd.Series([], dtype=str),
+             "service": pd.Series([], dtype=str),
+             "partial_count": pd.Series([], dtype="int64")})
+    tc = int(counts_df.loc[counts_df["kind"] == "tcount",
+                           "partial_count"].sum())
+    aggs["trace_count"] = pa.table({
+        "asserts_env": pa.array([config.env]),
+        "asserts_site": pa.array([config.site]),
+        "trace_count_total": pa.array([tc], pa.int64())})
+    sc = (counts_df[counts_df["kind"] == "scount"]
+          .groupby(["namespace", "service"], sort=False)
+          ["partial_count"].sum().astype("int64").reset_index(
+              name="span_count_total"))
+    sc.insert(0, "asserts_site", config.site)
+    sc.insert(0, "asserts_env", config.env)
+    aggs["span_count"] = pa.Table.from_pandas(
+        sc, preserve_index=False)
+    aggs["trace_sampled_count"] = sampled_trace_counts(
+        winners, config)
+    # span_sampled derives from the winner-rows broadcast table:
+    # routed = source ⋈ wtbl on (conv, turn) keeps exactly wtbl's
+    # rows, so counting wtbl == counting routed, without a scan
+    if wtbl is not None and wtbl.num_rows:
+        ssc = (wtbl.select(["namespace", "service"])
+               .group_by(["namespace", "service"])
+               .aggregate([([], "count_all")])
+               .rename_columns(["namespace", "service",
+                                "span_sampled_count_total"]))
+        ssc = ssc.add_column(0, "asserts_site", pa.array(
+            [config.site] * ssc.num_rows, pa.string()))
+        ssc = ssc.add_column(0, "asserts_env", pa.array(
+            [config.env] * ssc.num_rows, pa.string()))
+        aggs["span_sampled_count"] = ssc
+    else:
+        aggs["span_sampled_count"] = span_counts(
+            routed, config, "span_sampled_count_total")
+    if config.capture_metrics:
+        aggs["latency_hist"] = (
+            latency_histogram_final_tbl(hist_tbl, config))
+    return aggs
+
+
 def run_pipeline(input_path: "str | ray.data.Dataset",
                  config: PipelineConfig, *,
                  out_dir: str | None = None,
@@ -789,42 +845,8 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
                             winner_map=winner_map, decided=decided)
 
     if with_aggregates:
-        tc = int(counts_df.loc[counts_df["kind"] == "tcount",
-                               "partial_count"].sum())
-        result.aggregates["trace_count"] = pa.table({
-            "asserts_env": pa.array([config.env]),
-            "asserts_site": pa.array([config.site]),
-            "trace_count_total": pa.array([tc], pa.int64())})
-        sc = (counts_df[counts_df["kind"] == "scount"]
-              .groupby(["namespace", "service"], sort=False)
-              ["partial_count"].sum().astype("int64").reset_index(
-                  name="span_count_total"))
-        sc.insert(0, "asserts_site", config.site)
-        sc.insert(0, "asserts_env", config.env)
-        result.aggregates["span_count"] = pa.Table.from_pandas(
-            sc, preserve_index=False)
-        result.aggregates["trace_sampled_count"] = sampled_trace_counts(
-            winners, config)
-        # span_sampled derives from the winner-rows broadcast table:
-        # routed = source ⋈ wtbl on (conv, turn) keeps exactly wtbl's
-        # rows, so counting wtbl == counting routed, without a scan
-        if wtbl is not None and wtbl.num_rows:
-            ssc = (wtbl.select(["namespace", "service"])
-                   .group_by(["namespace", "service"])
-                   .aggregate([([], "count_all")])
-                   .rename_columns(["namespace", "service",
-                                    "span_sampled_count_total"]))
-            ssc = ssc.add_column(0, "asserts_site", pa.array(
-                [config.site] * ssc.num_rows, pa.string()))
-            ssc = ssc.add_column(0, "asserts_env", pa.array(
-                [config.env] * ssc.num_rows, pa.string()))
-            result.aggregates["span_sampled_count"] = ssc
-        else:
-            result.aggregates["span_sampled_count"] = span_counts(
-                routed, config, "span_sampled_count_total")
-        if config.capture_metrics:
-            result.aggregates["latency_hist"] = (
-                latency_histogram_final_tbl(hist_tbl, config))
+        result.aggregates = _build_aggregates(
+            config, counts_df, winners, wtbl, hist_tbl, routed)
 
     if out_dir is not None:
         import os
@@ -863,7 +885,8 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
                           config: PipelineConfig, *,
                           out_dir: str,
                           window_seconds: float | None = None,
-                          num_partitions: int | None = None) -> dict:
+                          num_partitions: int | None = None,
+                          with_aggregates: bool = False) -> dict:
     """K4 incremental flush: the reference drains its trace queues every
     ``trace_flush_frequency_seconds`` (assertsprocessor/sampler.go:
     215-276); the batch analog assigns each conversation to the
@@ -871,20 +894,34 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
 
     Physical shape: ONE sort/assemble/decide over the whole input (the
     admission cap stays global, matching the reference's cross-flush
-    TTL cache), ONE window-aware winner scan, ONE route pass; only the
-    sink writes loop per window, each with its own lineage completeness
-    marker, so a resumed run skips every finished window and recomputes
-    only the missing ones.
+    TTL cache) whose decide pass also emits the window-tagged winner
+    partials (and, with aggregates, the A1-A4 partials) through the
+    collector, ONE route pass, and ONE write pass that splits every
+    batch across its (window, sink) groups — W windows cost the same
+    scans as one.  Each (window, sink) keeps its own lineage
+    completeness marker, so a resumed run skips every finished window
+    and recomputes only the missing ones.
+
+    ``with_aggregates``: also build the A1-A4 aggregate tables (global
+    across windows — the reference's Prom registry is one cumulative
+    registry regardless of flush cadence, sampler.go:215-276 vs
+    metric_helper.go) and checkpoint them under ``metrics-*`` stages.
     """
+    import glob
     import os
+    import shutil
+    import uuid
 
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     import ray as _ray
 
-    from asserts_otel_processor_ray.stages.topk import collect_df
+    from asserts_otel_processor_ray.stages.aggregate import (
+        histogram_partial_fn)
     from asserts_otel_processor_ray.state.checkpoint import (
-        Lineage, checkpoint_dataset, input_fingerprint, stage_dir)
+        Lineage, checkpoint_table, input_fingerprint,
+        is_weak_fingerprint, stage_dir)
 
     window_seconds = (window_seconds
                       or config.trace_flush_frequency_seconds)
@@ -894,61 +931,161 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
         else max(32, ncpus * 2)
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
-    from asserts_otel_processor_ray.state.checkpoint import (
-        is_weak_fingerprint)
     fp = input_fingerprint(input_path)
     # a weak (in-memory) input identity must not skip windows written
     # by a DIFFERENT in-memory input with the same schema/count; make
     # the lineage key unique per call so in-run lineage still records
     # but cross-run resume is refused
     if is_weak_fingerprint(fp):
-        import uuid
         fp = fp + "-" + uuid.uuid4().hex[:8]
     cfg_hash = config.config_hash() + "-" + fp + f"-w{window_us}"
 
+    capture_hist = with_aggregates and config.capture_metrics
     b = build_decided_ex(source, config, num_partitions=num_partitions,
-                         drop_intermediate=True, collect_agg=False)
+                         drop_intermediate=True,
+                         collect_agg=with_aggregates,
+                         winner_scan=True, capture_hist=capture_hist,
+                         window_us=window_us)
     decided = b.decided
+    winhist_tbls = b.winhist_tbls
+    if b.winhist_coverage != decided.count():
+        # a collected partial went missing — recompute explicitly
+        hist_fn = (histogram_partial_fn(config, b.metric_allowed)
+                   if capture_hist else None)
+        scan = decided.map_batches(
+            _winner_partials_fn(config.per_request_topk, hist_fn,
+                                window_us=window_us),
+            batch_format="pyarrow", batch_size=None,
+            num_cpus=_heavy_scan_cpus())
+        winhist_tbls = list(_ray.get(scan.to_arrow_refs()))
 
-    df = collect_df(decided.map_batches(
-        _winner_partials_fn(config.per_request_topk,
-                            window_us=window_us),
-        batch_format="pyarrow", batch_size=None,
-        num_cpus=_heavy_scan_cpus()))
+    tbls = [t for t in (winhist_tbls or []) if t.num_rows > 0]
+    hist_tbl = None
     winners_by_window: dict[int, list[dict]] = {}
     winner_map_all: dict[str, str] = {}
     window_of_conv: dict[str, int] = {}
-    if not df.empty:
+    all_winners: list[dict] = []
+    if tbls:
+        tbl = pa.concat_tables(tbls, promote_options="permissive")
+        kind = tbl.column("kind")
+        if capture_hist:
+            hist_tbl = tbl.filter(pc.equal(kind, "hist"))
+        win_cols = ["kind", "conv_id", "entity", "request", "qtype",
+                    "sample_type", "latency", "arrival_key", "bucket",
+                    "window"]
+        # Arrow pre-reduce of the (large) normal candidates before
+        # pandas: min arrival per (window, entity, request, bucket)
+        nc_tbl = tbl.filter(pc.equal(kind, "ncand"))
+        if nc_tbl.num_rows:
+            mins = nc_tbl.group_by(
+                ["window", "entity", "request", "bucket"]).aggregate(
+                [("arrival_key", "min")])
+            nc_tbl = nc_tbl.filter(pc.is_in(
+                nc_tbl.column("arrival_key"),
+                value_set=mins.column("arrival_key_min")))
+        it_tbl = tbl.filter(pc.equal(kind, "item"))
+        df = pa.concat_tables([it_tbl.select(win_cols),
+                               nc_tbl.select(win_cols)]).to_pandas()
         for w, wdf in df.groupby("window", sort=True):
             winners = _finish_winners(wdf, config)
             winners_by_window[int(w)] = winners
+            all_winners.extend(winners)
             for r in winners:
                 winner_map_all[r["conv_id"]] = r["sample_type"]
                 window_of_conv[r["conv_id"]] = int(w)
 
-    routed = build_routed(source, decided, winner_map_all).materialize()
+    routed, wtbl = build_routed_ex(source, decided, winner_map_all)
+    routed = routed.materialize()
 
     os.makedirs(out_dir, exist_ok=True)
     lineage = Lineage(out_dir)
     sink_paths: dict[str, str] = {}
     skipped: list[str] = []
+    todo: list[tuple[int, str]] = []
     for w in sorted(winners_by_window):
-        convs_w = pa.array(
-            sorted(c for c, ww in window_of_conv.items() if ww == w),
-            pa.string())
         for sink in SINKS:
             stage = f"window={w:06d}/{sink}"
             if lineage.stage_complete(stage, cfg_hash):
                 sink_paths[stage] = stage_dir(out_dir, stage)
                 skipped.append(stage)
+            else:
+                todo.append((w, sink))
+
+    if todo:
+        # one write pass over routed: each batch splits itself across
+        # its (window, sink) groups and appends a part file per group
+        # directly into the stage dir (out_dir is shared storage on a
+        # real cluster, exactly like write_parquet's contract); lineage
+        # is recorded by the driver AFTER the pass, so a crash leaves
+        # incomplete stages unmarked and a rerun replaces them
+        for w, sink in todo:
+            d = stage_dir(out_dir, f"window={w:06d}/{sink}")
+            if os.path.isdir(d):      # incomplete remnant of a crash
+                shutil.rmtree(d)
+            os.makedirs(d, exist_ok=True)
+        convs = sorted(window_of_conv)
+        conv_np = np.array(convs)
+        win_np = np.array([window_of_conv[c] for c in convs], np.int64)
+        sink_pos = {s: i for i, s in enumerate(sorted(SINKS))}
+        todo_keys = frozenset(w * len(SINKS) + sink_pos[s]
+                              for w, s in todo)
+        bcast = _ray.put((conv_np, win_np))
+
+        def write_groups(t: pa.Table) -> pa.Table:
+            cnp, wnp = _ray.get(bcast)
+            cv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            # routed contains only winner conversations → always found
+            w_of = wnp[np.searchsorted(cnp, cv)]
+            ss = np.array(sorted(SINKS))
+            st = t.column("sample_type").to_numpy(zero_copy_only=False)
+            s_of = np.searchsorted(ss, st)
+            key = w_of * len(SINKS) + s_of
+            for kv in np.unique(key):
+                if int(kv) not in todo_keys:
+                    continue
+                w, si = divmod(int(kv), len(SINKS))
+                d = stage_dir(out_dir, f"window={w:06d}/{ss[si]}")
+                part = t.filter(pa.array(key == kv))
+                pq.write_table(
+                    part, os.path.join(
+                        d, f"part-{uuid.uuid4().hex[:12]}.parquet"))
+            return t.slice(0, 0)
+
+        routed.map_batches(write_groups, batch_format="pyarrow",
+                           batch_size=None).materialize()
+        for w, sink in todo:
+            stage = f"window={w:06d}/{sink}"
+            d = stage_dir(out_dir, stage)
+            total = 0
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                md = pq.read_metadata(f)
+                total += md.num_rows
+                lineage.record_partition(stage, cfg_hash, f,
+                                         md.num_rows,
+                                         os.path.getsize(f))
+            lineage.mark_complete(stage, cfg_hash, total)
+            sink_paths[stage] = d
+
+    result = {"winners_by_window": winners_by_window,
+              "sink_paths": sink_paths, "routed": routed,
+              "skipped": skipped}
+    if with_aggregates:
+        counts_df = (b.counts_df if b.counts_df is not None
+                     else pd.DataFrame())
+        aggs = _build_aggregates(config, counts_df, all_winners, wtbl,
+                                 hist_tbl, routed)
+        for name, agg in aggs.items():
+            stage = f"metrics-{name}"
+            if lineage.stage_complete(stage, cfg_hash):
+                aggs[name] = stage_dir(out_dir, stage)
                 continue
-            sub = routed.map_batches(
-                lambda t, s=sink, cw=convs_w: t.filter(pc.and_(
-                    pc.equal(t.column("sample_type"), s),
-                    pc.is_in(t.column("conv_id"), value_set=cw))),
-                batch_format="pyarrow")
-            sink_paths[stage] = checkpoint_dataset(
-                sub, out_dir, stage, cfg_hash, lineage)
-    return {"winners_by_window": winners_by_window,
-            "sink_paths": sink_paths, "routed": routed,
-            "skipped": skipped}
+            if isinstance(agg, pa.Table):
+                aggs[name] = checkpoint_table(
+                    agg, out_dir, stage, cfg_hash, lineage)
+            else:
+                from asserts_otel_processor_ray.state.checkpoint import (
+                    checkpoint_dataset)
+                aggs[name] = checkpoint_dataset(
+                    agg, out_dir, stage, cfg_hash, lineage)
+        result["aggregates"] = aggs
+    return result

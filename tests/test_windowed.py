@@ -118,3 +118,37 @@ def test_resume_recomputes_only_missing_window(windowed_run, ray_session):
     # the finished window's files were not rewritten
     assert mtimes == {p: os.path.getmtime(p)
                       for p in glob.glob(finished + "/*/*.parquet")}
+
+
+def test_windowed_aggregates_match_single_flush(windowed_run,
+                                                ray_session,
+                                                tmp_path_factory):
+    """A1/A3/A4 are winner-independent (one cumulative registry in the
+    reference regardless of flush cadence): the windowed run's
+    trace_count / span_count / latency_hist must equal the single-flush
+    run's, byte for byte.  (A2/A5-sampled differ by design: windowed
+    mode flushes winners per window.)"""
+    from asserts_otel_processor_ray.config import default_config
+    from asserts_otel_processor_ray.pipelines.pipeline import (
+        run_pipeline, run_pipeline_windowed)
+    path, _, cfg, _ = windowed_run
+    out = str(tmp_path_factory.mktemp("windowed_agg"))
+    wres = run_pipeline_windowed(path, cfg, out_dir=out,
+                                 window_seconds=WINDOW_S,
+                                 with_aggregates=True)
+    sres = run_pipeline(path, cfg, with_aggregates=True)
+
+    def _tbl(v):
+        if isinstance(v, str):
+            return pa.concat_tables(
+                [pq.read_table(f)
+                 for f in sorted(glob.glob(v + "/*.parquet"))])
+        return v
+
+    for name in ("trace_count", "span_count", "latency_hist"):
+        got = _tbl(wres["aggregates"][name]).to_pandas()
+        want = _tbl(sres.aggregates[name]).to_pandas()
+        cols = list(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
