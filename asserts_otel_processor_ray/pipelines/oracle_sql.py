@@ -470,4 +470,72 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
     count(latency_s) AS latency_count
   FROM hrows GROUP BY {hist_labels}, le"""),
     }
+    jq = jaeger_oracle_sql()
+    if jq is not None:
+        queries["t_jaeger"] = jq
     return queries
+
+
+def jaeger_oracle_sql(paths: list[str] | None = None) -> str | None:
+    """S2 oracle: the Jaeger-JSON → transcript conversion
+    (sources/jaeger.py, reference span shape:
+    assertsprocessor/testdata/sample-trace-*.json) re-expressed over
+    DuckDB's read_json — an independent implementation of the same
+    semantics: spans ordered by (startTime, spanID) per trace, span.kind
+    → role, process serviceName → tool, tag markers flattened into text
+    in fixed order.  Returns None when the fixtures are absent (keeps
+    queries() and oracle_sql() keys in lockstep)."""
+    if paths is None:
+        from asserts_otel_processor_ray.pipelines.queries import (
+            jaeger_fixture_paths)
+        paths = jaeger_fixture_paths()
+    if not paths:
+        return None
+    plist = "['" + "','".join(paths) + "']"
+
+    def tagv(key: str) -> str:
+        return (f"list_filter(tags, x -> ((x->>'key') = '{key}'))[1]"
+                "->>'value'")
+
+    return f"""
+WITH docs AS (
+  SELECT unnest(data) AS tr
+  FROM read_json({plist}, columns={{data: 'JSON[]'}})
+),
+spans AS (
+  SELECT tr->>'traceID' AS conv_id,
+         tr->'processes' AS procs,
+         unnest(CAST(tr->'spans' AS JSON[])) AS s
+  FROM docs
+),
+ex AS (
+  SELECT conv_id,
+    COALESCE(s->>'spanID', '') AS span_id,
+    COALESCE(CAST(s->'startTime' AS BIGINT), 0) AS start_us,
+    COALESCE(s->>'operationName', '') AS op,
+    COALESCE(procs -> (s->>'processID') ->> 'serviceName', '') AS tool,
+    CAST(s->'tags' AS JSON[]) AS tags
+  FROM spans
+),
+tagext AS (
+  SELECT conv_id, span_id, start_us, op, tool,
+    {tagv('span.kind')} AS kind,
+    {tagv('http.url')} AS v_url,
+    {tagv('http.status_code')} AS v_status,
+    {tagv('http.route')} AS v_route,
+    {tagv('db.operation')} AS v_dbop,
+    {tagv('aws.table.name')} AS v_table,
+    {tagv('peer.address')} AS v_peer
+  FROM ex
+)
+SELECT conv_id,
+  CAST(row_number() OVER (PARTITION BY conv_id
+       ORDER BY start_us, span_id) - 1 AS INTEGER) AS turn_idx,
+  CASE WHEN kind IN ('server', 'consumer') THEN 'user'
+       WHEN kind IN ('client', 'producer') THEN 'tool'
+       ELSE 'assistant' END AS role,
+  concat_ws(' ', nullif(op, ''),
+    'url=' || v_url, 'status=' || v_status, 'route=' || v_route,
+    'db.op=' || v_dbop, 'table=' || v_table, 'peer=' || v_peer) AS text,
+  tool, make_timestamp(start_us) AS ts
+FROM tagext"""

@@ -219,6 +219,30 @@ def q_agg_latency_hist(sf_dir: str) -> pa.Table:
     return latency_histogram(art["decided"], config, metric_allowed)
 
 
+# S2 correctness input: the reference's own Jaeger fixtures
+# (assertsprocessor/testdata/sample-trace-{1,2}.json — 4 + 86 spans,
+# incl. the DynamoDb error call); the oracle re-expresses the
+# conversion in DuckDB SQL over read_json of the same files
+JAEGER_FIXTURES = [
+    "/root/reference/assertsprocessor/testdata/sample-trace-1.json",
+    "/root/reference/assertsprocessor/testdata/sample-trace-2.json",
+]
+
+
+def jaeger_fixture_paths() -> list[str]:
+    import os
+    return [p for p in JAEGER_FIXTURES if os.path.exists(p)]
+
+
+def q_jaeger(sf_dir: str) -> pa.Table:
+    """S2: Jaeger-JSON ingest of the reference fixtures → transcript
+    schema (span_enrichment semantics of sources/jaeger.py).  The input
+    is the fixture pair, not sf_dir — the conversion is what's under
+    test."""
+    from asserts_otel_processor_ray.sources.jaeger import read_jaeger_json
+    return read_jaeger_json(jaeger_fixture_paths())
+
+
 # flush-window width for the windowed-winners correctness query (K4
 # incremental mode); mirrored in oracle_sql.build_oracle_queries
 WINDOWED_QUERY_SECONDS = 600
@@ -274,3 +298,6 @@ CORE_QUERIES = {
     "t_agg_latency_hist": q_agg_latency_hist,
     "t_windowed_winners": q_windowed_winners,
 }
+
+if jaeger_fixture_paths():
+    CORE_QUERIES["t_jaeger"] = q_jaeger

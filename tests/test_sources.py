@@ -91,3 +91,28 @@ def test_synthetic_deterministic():
     df = df.sort_values(["conv_id", "turn_idx"])
     diffs = df.groupby("conv_id")["ts"].diff().dropna()
     assert (diffs.dt.total_seconds() > 0).all()
+
+
+def test_jaeger_oracle_matches_converter():
+    """t_jaeger: the DuckDB re-expression of the Jaeger conversion
+    (oracle_sql.jaeger_oracle_sql) matches sources/jaeger.py byte for
+    byte on the reference fixtures (90 spans across 2 traces)."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from asserts_otel_processor_ray.pipelines.oracle_sql import (
+        jaeger_oracle_sql)
+    from asserts_otel_processor_ray.pipelines.queries import (
+        jaeger_fixture_paths, q_jaeger)
+    if not jaeger_fixture_paths():
+        pytest.skip("reference fixtures unavailable")
+    want = q_jaeger("unused").to_pandas()
+    got = duckdb.connect().execute(
+        jaeger_oracle_sql()).fetch_arrow_table().to_pandas()
+    cols = list(want.columns)
+    key = ["conv_id", "turn_idx"]
+    want = want.sort_values(key).reset_index(drop=True)
+    got = got[cols].sort_values(key).reset_index(drop=True)
+    assert len(want) == 90
+    pd.testing.assert_frame_equal(want, got)
