@@ -134,18 +134,48 @@ def build_enriched(ds: "ray.data.Dataset", config: PipelineConfig, *,
 
 def slim_columns(names: list[str], config: PipelineConfig) -> list[str]:
     """Columns that ride the sort: everything except the heavy source
-    text/role/tool and the extracted attrs not promoted to metric
-    labels.  Routed output re-attaches the dropped columns via the
-    winner-row broadcast join (stages/route.py)."""
+    text/role/tool, the extracted attrs not promoted to metric labels,
+    and the two enrich outputs that are pure functions of columns that
+    ride anyway — ``entity_key`` (f(namespace, service, config), ~30% of
+    the measured slim bytes: a ~60 B templated string per row) and
+    ``latency_threshold_s`` (f(entity_key, request context, config)).
+    The sort is the pipeline's only all-to-all exchange, so dropping
+    them cuts the exchanged bytes ~34%; the assemble scan re-derives
+    them (stages/enrich.py:EntityThresholdDeriver — a distinct-triple
+    lookup, bitwise-equal to the enrich computation) before any kernel
+    sees the rows.  Routed output re-attaches the dropped source
+    columns via the winner-row broadcast join (stages/route.py).
+
+    [Measured alternative, rejected: per-block `pc.dictionary_encode`
+    of the wide string columns shrinks bytes 2.5× but Ray's sort-reduce
+    degrades badly on dictionary blocks — sf2/32cpu wall went 34.5 s →
+    63.8 s; plain strings + column dropping wins.]"""
     keep = []
     for c in names:
-        if c in ("text", "role", "tool"):
+        if c in ("text", "role", "tool", "entity_key",
+                 "latency_threshold_s"):
             continue
         if c.startswith("attr_") and \
                 c not in config.attributes_as_metric_labels:
             continue
         keep.append(c)
     return keep
+
+
+def _slim_with_sort_hash(t: pa.Table, config: PipelineConfig) -> pa.Table:
+    """Slim projection + the ``conv_h`` sort-accelerator column: a
+    deterministic (process-independent: pandas siphash with its fixed
+    key, not PYTHONHASHSEED) 64-bit hash of conv_id, computed over the
+    block's DISTINCT conv values and scattered back.  See the sort-key
+    comment in build_decided_ex for why an integer-led key matters; the
+    assemble scan drops the column before any kernel sees the rows."""
+    t = t.select(slim_columns(t.schema.names, config))
+    if t.num_rows == 0:
+        return t.append_column("conv_h", pa.nulls(0, pa.uint64()))
+    conv_np = t.column("conv_id").to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(conv_np)
+    hu = pd.util.hash_array(np.asarray(uniq, dtype=object))
+    return t.append_column("conv_h", pa.array(hu[codes], pa.uint64()))
 
 
 @dataclass
@@ -266,13 +296,23 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
         enriched = build_enriched(ds, config,
                                   enrich_concurrency=enrich_concurrency)
     # only slim columns ride the sort — the text payload stays out of
-    # the exchange entirely (route re-attaches it from the source)
+    # the exchange entirely (route re-attaches it from the source) and
+    # the derivable entity/threshold columns are recomputed post-sort
     slim = enriched.map_batches(
-        lambda t, cfg=config: t.select(slim_columns(t.schema.names, cfg)),
+        lambda t, cfg=config: _slim_with_sort_hash(t, cfg),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     # the assemble scan is the sort's only consumer — leave the sort
-    # lazy so sort-reduce and assemble run in ONE streamed execution
-    sorted_ds = slim.sort(["conv_id", "turn_idx"])
+    # lazy so sort-reduce and assemble run in ONE streamed execution.
+    # conv_h (64-bit hash of conv_id) leads the key: Ray's range
+    # partitioner binary-searches each boundary tuple column by column
+    # and converts the WHOLE column to numpy per boundary — an
+    # object-array conversion for strings (~25 ms × boundaries ×
+    # blocks ≈ 100 s of the sf2 sort-map CPU, measured).  An integer
+    # first key empties the search range before the string column is
+    # ever touched (except in the one block holding the boundary's
+    # exact hash), and conv_id stays second so a hash collision cannot
+    # interleave two conversations.
+    sorted_ds = slim.sort(["conv_h", "conv_id", "turn_idx"])
 
     # sharded by block key so no single actor funnels every block's
     # push round-trip (or, in driver-boundary mode, all edge rows)
@@ -285,7 +325,14 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
         import tempfile as _tf
         edge_scratch = _tf.mkdtemp(prefix="edge-rows-")
 
+    # re-derives the two columns dropped from the sort payload
+    # (slim_columns) — single shared implementation with EnrichStage
+    from asserts_otel_processor_ray.stages.enrich import (
+        EntityThresholdDeriver)
+    deriver = EntityThresholdDeriver(config)
+
     def assemble_and_push(t: pa.Table) -> pa.Table:
+        t = deriver.attach(t.drop_columns(["conv_h"]))
         if t.num_rows == 0:
             return stage(t)
         key = block_key(t)

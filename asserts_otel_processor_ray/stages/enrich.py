@@ -57,14 +57,21 @@ _REQUEST_TYPE_BY_KIND = {
 }
 
 
-class EnrichStage:
-    """Callable class for ``map_batches(EnrichStage, concurrency=N,
-    fn_constructor_args=(config,))`` — state built once per actor."""
+class EntityThresholdDeriver:
+    """entity_key + latency_threshold_s from (namespace, service,
+    request context) — keys.go:13-30 key format and thresholds.go:34-55
+    request → service-default → config-default lookup, computed over the
+    DISTINCT (ns, svc, ctx) triples of a batch and scattered back.
+
+    Shared by EnrichStage (the canonical computation) and the assemble
+    scan, which re-derives the two columns after the sort because they
+    are dropped from the sort payload (pipelines/pipeline.py:
+    slim_columns — entity_key alone is ~30% of the exchanged bytes).
+    Single implementation ⇒ the re-derived columns are bitwise-equal by
+    construction."""
 
     def __init__(self, config: PipelineConfig):
-        self.config = config
-        self.rules = config.compiled_rules()          # T1: validated once
-        self.targets = sorted(self.rules)             # deterministic order
+        self.env, self.site = config.env, config.site
         # T2: broadcast threshold store, two-level fallback
         self.request_thresholds: dict[str, float] = {}
         self.service_thresholds: dict[str, float] = {}
@@ -74,6 +81,63 @@ class EnrichStage:
             else:
                 self.request_thresholds[entity_key + "#" + request] = thr
         self.default_threshold = config.sampling_latency_threshold_seconds
+
+    def derive(self, ns_np: np.ndarray, svc_np: np.ndarray,
+               ctx_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(entity_key, threshold) arrays; ctx nulls must already be
+        '' (matching the enrich threshold lookup's fillna(''))."""
+        ni, nu = pd.factorize(ns_np)
+        si, su = pd.factorize(svc_np)
+        ci, cu = pd.factorize(ctx_np)
+        n_svc, n_ctx = max(len(su), 1), max(len(cu), 1)
+        pair_codes = ni.astype(np.int64) * n_svc + si
+        up, pinv = np.unique(pair_codes, return_inverse=True)
+        ek_by_pair = {
+            p: ("{env=" + self.env + ", namespace=" + nu[p // n_svc]
+                + ", site=" + self.site + "}#Service#" + su[p % n_svc])
+            for p in up}
+        ek_u = np.array([ek_by_pair[p] for p in up], dtype=object)
+        triple_codes = pair_codes * n_ctx + ci
+        ut, tinv = np.unique(triple_codes, return_inverse=True)
+        thr_u = np.empty(len(ut), np.float64)
+        for j, tc in enumerate(ut):
+            ek = ek_by_pair[tc // n_ctx]
+            thr = self.request_thresholds.get(ek + "#" + cu[tc % n_ctx])
+            if thr is None:
+                thr = self.service_thresholds.get(ek,
+                                                  self.default_threshold)
+            thr_u[j] = thr
+        return ek_u[pinv], thr_u[tinv]
+
+    def attach(self, t: pa.Table) -> pa.Table:
+        """Append the two derived columns to a table carrying
+        namespace / service / asserts_request_context."""
+        if t.num_rows == 0:
+            return (t.append_column("entity_key", pa.nulls(0, pa.string()))
+                    .append_column("latency_threshold_s",
+                                   pa.nulls(0, pa.float64())))
+        ns_np = t.column("namespace").to_numpy(zero_copy_only=False)
+        svc_np = t.column("service").to_numpy(zero_copy_only=False)
+        ctx_np = (t.column("asserts_request_context").to_pandas()
+                  .fillna("").to_numpy())
+        ek, thr = self.derive(ns_np, svc_np, ctx_np)
+        return (t.append_column("entity_key", pa.array(ek, pa.string()))
+                .append_column("latency_threshold_s",
+                               pa.array(thr, pa.float64())))
+
+
+class EnrichStage:
+    """Callable class for ``map_batches(EnrichStage, concurrency=N,
+    fn_constructor_args=(config,))`` — state built once per actor."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.rules = config.compiled_rules()          # T1: validated once
+        self.targets = sorted(self.rules)             # deterministic order
+        self.deriver = EntityThresholdDeriver(config)
+        self.request_thresholds = self.deriver.request_thresholds
+        self.service_thresholds = self.deriver.service_thresholds
+        self.default_threshold = self.deriver.default_threshold
 
     # ---- rule machinery -------------------------------------------------
 
@@ -187,31 +251,18 @@ class EnrichStage:
         if attr_column(ATTR_ERROR_TYPE) not in target_cols:
             target_cols[attr_column(ATTR_ERROR_TYPE)] = null_str
 
-        # entity key (vectorized literal concat; keys.go:13-30 format)
-        env, site = self.config.env, self.config.site
-        entity_key = pc.binary_join_element_wise(
-            pa.array(np.full(n, "{env=" + env + ", namespace=")),
-            pa.array(ns_np, pa.string()),
-            pa.array(np.full(n, ", site=" + site + "}#Service#")),
-            pa.array(svc_np, pa.string()),
-            "")
-
-        # J1: threshold lookup request → service default → config default
-        ek_pd = pd.Series(entity_key.to_pandas())
-        ctx_pd = pd.Series(ctx.to_pandas()).fillna("")
-        rk = ek_pd + "#" + ctx_pd
-        thr = rk.map(self.request_thresholds)
-        thr = thr.fillna(ek_pd.map(self.service_thresholds))
-        thr = thr.fillna(self.default_threshold)
+        # entity key (keys.go:13-30 format) + J1 threshold lookup —
+        # shared deriver (also used by the post-sort re-derive)
+        ctx_np = pd.Series(ctx.to_pandas()).fillna("").to_numpy()
+        ek_np, thr_np = self.deriver.derive(ns_np, svc_np, ctx_np)
 
         out = batch
         out = out.append_column("asserts_request_type", request_type)
         for name in sorted(target_cols):
             out = out.append_column(name, target_cols[name])
-        out = out.append_column("entity_key", entity_key)
+        out = out.append_column("entity_key", pa.array(ek_np, pa.string()))
         out = out.append_column(
-            "latency_threshold_s", pa.array(thr.to_numpy(np.float64),
-                                            pa.float64()))
+            "latency_threshold_s", pa.array(thr_np, pa.float64()))
         return out
 
     def _empty_like(self, batch: pa.Table) -> pa.Table:
