@@ -276,7 +276,7 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
         metric_first_seen_fn)
     from asserts_otel_processor_ray.state.collector import (
         add_many_sharded, block_key, drain_tables_sharded,
-        make_collectors)
+        get_collectors)
     from asserts_otel_processor_ray.stages.topk import (
         allowed_pairs_from_df)
 
@@ -315,8 +315,23 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     sorted_ds = slim.sort(["conv_h", "conv_id", "turn_idx"])
 
     # sharded by block key so no single actor funnels every block's
-    # push round-trip (or, in driver-boundary mode, all edge rows)
-    collectors = make_collectors(max(1, ncpus // 4))
+    # push round-trip (or, in driver-boundary mode, all edge rows).
+    # The pool is process-cached (actor startup per run costs more than
+    # the pushes at bench scale); a per-run nonce isolates this run's
+    # partials and is cleared before every return.  A run that RAISES
+    # strands its nonce entries until process exit — acceptable: the
+    # payloads are kilobyte-bounded and the previous design (fresh
+    # actors per run) stranded whole actor processes on the same path.
+    collectors = get_collectors(max(1, ncpus // 4))
+    import uuid as _uuid
+    nonce = _uuid.uuid4().hex[:8] + "/"
+
+    def _drain(kind: str) -> list:
+        return drain_tables_sharded(collectors, nonce + kind)
+
+    def _cleanup() -> None:
+        for c in collectors:
+            c.clear_prefix.remote(nonce)
     stage = AssembleStage(config)
     limit = config.limit_per_service
     mseen_fn = metric_first_seen_fn(limit) if collect_agg else None
@@ -341,9 +356,9 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                             pa.compute.equal(conv, conv[t.num_rows - 1]))
         edge = t.filter(em)
         out = stage(t.filter(pa.compute.invert(em)))
-        items = [("seg", key, _seg_cap_partial(out, limit))]
+        items = [(nonce + "seg", key, _seg_cap_partial(out, limit))]
         if edge_scratch is None:
-            items.append(("edge", key, edge))
+            items.append((nonce + "edge", key, edge))
         else:
             # spill edge rows to scratch parquet keyed by block — no
             # single process ever holds all boundary conversations
@@ -354,8 +369,9 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             _pq.write_table(edge, _os.path.join(
                 edge_scratch, f"edge-{fname}.parquet"))
         if collect_agg:
-            items.append(("mseen", key, mseen_fn(out)))
-            items.append(("counts", key, _count_partials_tbl(out)))
+            items.append((nonce + "mseen", key, mseen_fn(out)))
+            items.append((nonce + "counts", key,
+                          _count_partials_tbl(out)))
         # blocking get: the task completes only after its partials land
         _ray.get(add_many_sharded(collectors, items))
         return out
@@ -367,11 +383,9 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
         batch_size=None,
         num_cpus=_heavy_scan_cpus()).materialize()
 
-    seg_tbls = drain_tables_sharded(collectors, "seg")
-    mseen_tbls = (drain_tables_sharded(collectors, "mseen")
-                  if collect_agg else [])
-    counts_tbls = (drain_tables_sharded(collectors, "counts")
-                   if collect_agg else [])
+    seg_tbls = _drain("seg")
+    mseen_tbls = _drain("mseen") if collect_agg else []
+    counts_tbls = _drain("counts") if collect_agg else []
 
     boundary_ds = None
     assembled_boundary = None
@@ -383,10 +397,11 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             edges_ds = ray.data.read_parquet(edge_scratch)
             boundary_ds = edges_ds.groupby("conv_id").map_groups(
                 lambda g: stage(g), batch_format="pyarrow")
-            part_fns = [("seg", lambda t: _seg_cap_partial(t, limit))]
+            part_fns = [(nonce + "seg",
+                         lambda t: _seg_cap_partial(t, limit))]
             if collect_agg:
-                part_fns += [("mseen", mseen_fn),
-                             ("counts", _count_partials_tbl)]
+                part_fns += [(nonce + "mseen", mseen_fn),
+                             (nonce + "counts", _count_partials_tbl)]
 
             def boundary_push(t: pa.Table) -> pa.Table:
                 items = [(kind, ("boundary",) + block_key(t), f(t))
@@ -397,18 +412,17 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             boundary_ds = boundary_ds.map_batches(
                 boundary_push, batch_format="pyarrow",
                 batch_size=None).materialize()
-            seg_tbls = drain_tables_sharded(collectors, "seg")
+            seg_tbls = _drain("seg")
             if collect_agg:
-                mseen_tbls = drain_tables_sharded(collectors, "mseen")
-                counts_tbls = drain_tables_sharded(collectors, "counts")
+                mseen_tbls = _drain("mseen")
+                counts_tbls = _drain("counts")
         import shutil as _sh
         _sh.rmtree(edge_scratch, ignore_errors=True)
         assembled = (interior.union(boundary_ds)
                      if boundary_ds is not None else interior)
     else:
         # driver repair (bounded: ≤ 2 convs × blocks)
-        edge_tbls = [t for t in drain_tables_sharded(collectors, "edge")
-                     if t.num_rows > 0]
+        edge_tbls = [t for t in _drain("edge") if t.num_rows > 0]
         if edge_tbls:
             assembled_boundary = stage(pa.concat_tables(edge_tbls))
             seg_tbls.append(_seg_cap_partial(assembled_boundary, limit))
@@ -433,6 +447,7 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             limit)
 
     if not with_decide:
+        _cleanup()
         return DecidedBuild(decided=assembled, allowed=allowed,
                             counts_df=counts_df, mseen_df=mseen_df,
                             metric_allowed=metric_allowed)
@@ -460,7 +475,7 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
             # lost or key-collided partial fails the check and the
             # caller falls back to an explicit scan
             _ray.get(add_many_sharded(collectors, [
-                ("winhist", ("d",) + block_key(t),
+                (nonce + "winhist", ("d",) + block_key(t),
                  (t.num_rows, win_fn(out)))]))
         if drop_intermediate:
             keep = [c for c in out.schema.names
@@ -474,9 +489,10 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     winhist_tbls = None
     winhist_coverage = 0
     if winner_scan:
-        pairs = drain_tables_sharded(collectors, "winhist")
+        pairs = _drain("winhist")
         winhist_tbls = [t for _, t in pairs]
         winhist_coverage = sum(n for n, _ in pairs)
+    _cleanup()
     return DecidedBuild(decided=decided, allowed=allowed,
                         counts_df=counts_df, mseen_df=mseen_df,
                         metric_allowed=metric_allowed,

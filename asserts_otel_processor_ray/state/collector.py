@@ -45,6 +45,12 @@ class BlockPartialCollector:
         self._parts.setdefault(kind, {})[key] = pickle.dumps(payload)
         return True
 
+    def clear_prefix(self, prefix: str) -> bool:
+        """Drop every kind namespaced under a run nonce (pool reuse)."""
+        for k in [k for k in self._parts if k.startswith(prefix)]:
+            del self._parts[k]
+        return True
+
     def add_many(self, items: list[tuple]) -> bool:
         """items = [(kind, key, payload), ...] — one round trip per block."""
         import pickle
@@ -88,6 +94,31 @@ def shard_of(key: tuple, n: int) -> int:
 def make_collectors(n: int) -> list:
     """N zero-CPU collector actors (shard with shard_of)."""
     return [BlockPartialCollector.remote() for _ in range(max(1, n))]
+
+
+# Actor startup is ~0.5-1 s of worker-process boot per shard; a fresh
+# pool per run_pipeline call both pays that on every run and leaks the
+# previous run's actors.  The pool is cached per driver process and
+# runs isolate their entries by prefixing every kind with a per-run
+# nonce (cleared via clear_prefix when the run finishes).
+_POOL: list | None = None
+_POOL_N = 0
+
+
+def get_collectors(n: int) -> list:
+    """Cached pool of N collector shards; recreated if N changes or the
+    cached actors died (e.g. ray was restarted in this process)."""
+    global _POOL, _POOL_N
+    n = max(1, n)
+    if _POOL is not None and _POOL_N == n:
+        try:
+            ray.get(_POOL[0].tables.remote("__ping__"))
+            return _POOL
+        except Exception:
+            pass
+    _POOL = make_collectors(n)
+    _POOL_N = n
+    return _POOL
 
 
 def add_many_sharded(collectors: list, items: list[tuple]):
