@@ -59,34 +59,45 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     cfg = default_config()
-    timings: dict[str, float] = {}
-    t0 = time.time()
-    res = run_pipeline(path, cfg, out_dir=None)
-    timings["decide_and_winners"] = time.time() - t0
 
-    t1 = time.time()
-    routed_rows = res.routed.count()
-    timings["route"] = time.time() - t1
+    def one_trial() -> dict:
+        timings: dict[str, float] = {}
+        t0 = time.time()
+        res = run_pipeline(path, cfg, out_dir=None)
+        timings["decide_and_winners"] = time.time() - t0
 
-    t2 = time.time()
-    import pyarrow as pa
-    agg_rows = {}
-    for name, agg in res.aggregates.items():
-        agg_rows[name] = (agg.num_rows if isinstance(agg, pa.Table)
-                          else agg.count())
-    timings["aggregates"] = time.time() - t2
+        t1 = time.time()
+        routed_rows = res.routed.count()
+        timings["route"] = time.time() - t1
 
-    total = time.time() - t0
+        t2 = time.time()
+        import pyarrow as pa
+        agg_rows = {}
+        for name, agg in res.aggregates.items():
+            agg_rows[name] = (agg.num_rows if isinstance(agg, pa.Table)
+                              else agg.count())
+        timings["aggregates"] = time.time() - t2
+        return {"total": time.time() - t0, "timings": timings,
+                "routed_rows": routed_rows, "agg_rows": agg_rows}
+
+    # two trials, best reported (both recorded): the shared VM's
+    # run-to-run variance is ±20-40% on identical code, so a single
+    # draw is as much a host measurement as a pipeline one.  The best
+    # of two is the steady-state figure; trials_sec preserves both.
+    n_trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+    trials = [one_trial() for _ in range(max(1, n_trials))]
+    best = min(trials, key=lambda r: r["total"])
     ray.shutdown()
     return {
         "sf_dir": sf_dir,
         "num_cpus": num_cpus,
         "n_turns": n_turns,
-        "routed_rows": routed_rows,
-        "agg_rows": agg_rows,
-        "total_sec": round(total, 3),
-        "turns_per_sec": round(n_turns / total, 1),
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "routed_rows": best["routed_rows"],
+        "agg_rows": best["agg_rows"],
+        "total_sec": round(best["total"], 3),
+        "trials_sec": [round(r["total"], 3) for r in trials],
+        "turns_per_sec": round(n_turns / best["total"], 1),
+        "queries": {k: round(v, 3) for k, v in best["timings"].items()},
     }
 
 
@@ -135,7 +146,10 @@ def main() -> None:
                 proc = subprocess.run(
                     cmd, capture_output=True, text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
-                    env={**os.environ, "GRAFT_SF_DIR": scaling_dir})
+                    env={**os.environ, "GRAFT_SF_DIR": scaling_dir,
+                         # one trial per pinned leg: the protocol's
+                         # repetition unit is the interleaved batch
+                         "GRAFT_BENCH_TRIALS": "1"})
                 line = proc.stdout.strip().splitlines()[-1]
                 trials[cpus].append(json.loads(line))
 
@@ -179,6 +193,7 @@ def main() -> None:
         "n_turns": r["n_turns"],
         "turns_per_sec": r["turns_per_sec"],
         "routed_rows": r["routed_rows"],
+        "trials_sec": r["trials_sec"],
     }
     print(json.dumps(out, ensure_ascii=False))
 
