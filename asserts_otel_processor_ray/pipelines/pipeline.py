@@ -655,17 +655,37 @@ def select_winners(decided: "ray.data.Dataset",
 
 def build_routed_ex(source: "ray.data.Dataset",
                     decided: "ray.data.Dataset",
-                    winner_map: dict[str, str]
+                    winner_map: dict[str, str], *,
+                    source_path: str | None = None,
+                    num_blocks: int | None = None
                     ) -> tuple["ray.data.Dataset", "pa.Table | None"]:
     """Routed turn table: scan the ORIGINAL input, keep winner convs,
     merge the broadcast decided rows (bounded by the top-K caps).
-    Returns (routed, winner-rows table)."""
+    Returns (routed, winner-rows table).
+
+    With ``source_path`` the route scan re-reads the parquet with a
+    ``conv_id IN winners`` filter pushed into the read: pyarrow prunes
+    whole row groups whose conv_id min/max statistics exclude every
+    winner, so on a clustered-by-conversation layout the second pass
+    touches ~|winners|/|convs| of the file bytes instead of all of
+    them.  The in-stage ``is_in`` filter still runs afterwards —
+    row-group pruning is coarse, not exact."""
     import ray as _ray
 
     if not winner_map:
         return ray.data.from_arrow(
             __import__("asserts_otel_processor_ray.stages.route",
                        fromlist=["_empty_routed"])._empty_routed()), None
+    if source_path is not None:
+        try:
+            flt = pa.compute.field("conv_id").isin(sorted(winner_map))
+            kwargs = {"filter": flt}
+            if num_blocks is not None:
+                kwargs["override_num_blocks"] = num_blocks
+            source = ray.data.read_parquet(
+                source_path, columns=TRANSCRIPT_SCHEMA.names, **kwargs)
+        except Exception:
+            pass  # fall back to the caller's unfiltered scan
     winner_convs = pa.array(sorted(winner_map), pa.string())
     wtbls = [t for t in _ray.get(
         decided.map_batches(
@@ -898,7 +918,10 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             hist_tbl = tbl.filter(pc.equal(kind, "hist"))
     winner_map = {r["conv_id"]: r["sample_type"] for r in winners}
 
-    routed, wtbl = build_routed_ex(source, decided, winner_map)
+    routed, wtbl = build_routed_ex(
+        source, decided, winner_map,
+        source_path=(input_path if isinstance(input_path, str) else None),
+        num_blocks=n_read)
     if out_dir is not None:
         # materialize once: sink writes and any caller count() all
         # read these (bounded, winner-convs-only) blocks
@@ -1057,7 +1080,10 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
                 winner_map_all[r["conv_id"]] = r["sample_type"]
                 window_of_conv[r["conv_id"]] = int(w)
 
-    routed, wtbl = build_routed_ex(source, decided, winner_map_all)
+    routed, wtbl = build_routed_ex(
+        source, decided, winner_map_all,
+        source_path=(input_path if isinstance(input_path, str) else None),
+        num_blocks=n_read)
     routed = routed.materialize()
 
     os.makedirs(out_dir, exist_ok=True)

@@ -107,3 +107,19 @@ def test_enrich_actor_pool_path(ray_session):
     tb = b.to_pandas().sort_values(["conv_id", "turn_idx"],
                                    ignore_index=True)
     assert ta.equals(tb)
+
+
+def test_route_filter_pushdown_matches_unfiltered(ray_session):
+    """A str input path activates the conv_id-IN-winners parquet filter
+    on the route scan (row-group pruning); a Dataset input keeps the
+    unfiltered scan.  Routed output must be identical either way."""
+    from asserts_otel_processor_ray.pipelines.pipeline import (
+        read_transcripts, run_pipeline)
+    path = ensure_transcripts(SF_DIR)
+    cfg = default_config()
+    a = run_pipeline(path, cfg).routed.to_pandas()
+    b = run_pipeline(read_transcripts(path), cfg).routed.to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, ignore_index=True)
+    b = b.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
