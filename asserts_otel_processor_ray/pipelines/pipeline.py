@@ -3,11 +3,16 @@ route → aggregate (SURVEY.md §3 E1 re-expression).
 
 Physical shape (designed for a multi-node cluster; tested local):
 
-* the only full-data exchange is ONE sort on (conv_id, turn_idx) —
-  range partitioning that also provides the north rule's stable turn
-  ordering; boundary conversations (≤2 per block) get an exact side
-  pass, so every per-conversation step is a vectorized ``map_batches``
-  over whole-conversation blocks (no per-group Python calls)
+* AT MOST one full-data exchange: conversation-clustered input (the
+  common case for transcript logs, PROVEN from parquet row-group
+  statistics at plan time) needs NO exchange at all — read blocks
+  already co-locate conversations up to block-boundary straddles;
+  unclustered input falls back to ONE range sort on
+  (conv_h, conv_id, turn_idx).  Either way boundary conversations
+  (≤2 per block) get an exact side pass, so every per-conversation
+  step is a vectorized ``map_batches`` over whole-conversation blocks
+  (no per-group Python calls).  See build_decided_ex's ``shuffle``
+  docstring for the measured plan comparison (none/sort/hash).
 * the enrich stage is an actor pool (regex tables + threshold store
   compiled once per actor in ``__init__``)
 * caps / periodic sampling / top-K / aggregates are two-phase: a
@@ -162,6 +167,60 @@ def slim_columns(names: list[str], config: PipelineConfig) -> list[str]:
     return keep
 
 
+def parquet_conv_clustered(path: str, column: str = "conv_id") -> bool:
+    """True iff the parquet dataset's row-group statistics PROVE the
+    table is clustered by ``column``: in lexical file order, every row
+    group's [min, max] chain is monotone non-overlapping (equality
+    allowed — a conversation may straddle row-group/file boundaries).
+
+    Used by the shuffle="auto" plan: transcript logs are typically
+    written conversation-clustered (per-session appends), and a
+    clustered input needs NO exchange at all — the read blocks already
+    co-locate conversations up to block-boundary straddles, which the
+    existing edge-repair machinery handles.  The proof is sound for any
+    writer that emits rows in order (the stats chain pins cross-row-
+    group order; the per-block run-contiguity guard in the assemble
+    scan catches within-row-group interleaving at run time).
+
+    Cost: one parquet-footer metadata read per file on the driver —
+    O(files), no data bytes.  At very large file counts shard this
+    across Ray tasks; the check is embarrassingly parallel."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    elif os.path.isfile(path):
+        files = [path]
+    else:
+        return False
+    if not files:
+        return False
+    prev_max = None
+    for f in files:
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            return False
+        names = md.schema.names
+        if column not in names:
+            return False
+        ci = names.index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return False
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode(), mx.decode()
+            if prev_max is not None and mn < prev_max:
+                return False
+            prev_max = mx
+    return True
+
+
 def _slim_with_sort_hash(t: pa.Table, config: PipelineConfig) -> pa.Table:
     """Slim projection + the ``conv_h`` sort-accelerator column: a
     deterministic (process-independent: pandas siphash with its fixed
@@ -246,13 +305,39 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                      boundary_mode: str = "driver",
                      winner_scan: bool = False,
                      capture_hist: bool = False,
-                     window_us: int | None = None) -> DecidedBuild:
+                     window_us: int | None = None,
+                     source_path: str | None = None,
+                     shuffle: str = "auto") -> DecidedBuild:
     """Everything up to per-trace decisions.
 
-    Partitioning: the only full-data exchange is a sort on
-    (conv_id, turn_idx) — Ray's range-partitioning sort is several times
-    cheaper than its hash-shuffle repartition on this payload, and the
-    north rule wants the stable turn ordering anyway.
+    Partitioning (``shuffle``): all per-conversation kernels need is
+    whole conversations co-located per block (assemble_batch sorts its
+    own block by (conv_id, turn_idx)).  Four plans:
+
+    * "none" — NO exchange.  Valid when the input is already
+      conversation-clustered (each conv one contiguous run in global
+      row order — how transcript logs are written in practice): the
+      read blocks then co-locate conversations up to block-boundary
+      straddles, which the edge-repair machinery reassembles exactly
+      as it does for range-sorted blocks.  A per-block run-contiguity
+      guard raises if the precondition is violated.  Zero bytes
+      exchanged — the scale winner whenever it applies (measured at
+      sf1/32cpu: the sort operator alone was 11.5 s wall for 6.6 s
+      CPU — pure barrier + quantile overhead).
+    * "sort" — global range sort on (conv_h, conv_id, turn_idx); the
+      fallback for unclustered input.  Range partitioning also gives
+      stable global order, but only per-conversation order is ever
+      consumed.
+    * "hash" — hash-shuffle repartition on conv_h + per-block sort
+      inside assemble; no boundary repair needed (co-location is
+      exact).  Measured at sf1/32cpu: wall parity with "sort"
+      (14–18 s vs 13–16 s interleaved) but ~9× the shuffle CPU
+      (59 s vs 6.6 s — Ray's hash-shuffle splits every block into
+      num_partitions string-gather slices); kept as an explicit
+      option for skewed-key inputs where range boundaries misbalance.
+    * "auto" — "none" when ``source_path`` is given and
+      parquet_conv_clustered proves the clustering from row-group
+      statistics alone (O(files) footer reads, no data); else "sort".
 
     Pass discipline (the scaling story): the assemble scan is the ONLY
     read of the sorted table and the decide scan the ONLY read of the
@@ -295,33 +380,57 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     else:
         enriched = build_enriched(ds, config,
                                   enrich_concurrency=enrich_concurrency)
-    # only slim columns ride the sort — the text payload stays out of
-    # the exchange entirely (route re-attaches it from the source) and
-    # the derivable entity/threshold columns are recomputed post-sort
-    slim = enriched.map_batches(
-        lambda t, cfg=config: _slim_with_sort_hash(t, cfg),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    # the assemble scan is the sort's only consumer — leave the sort
-    # lazy so sort-reduce and assemble run in ONE streamed execution.
-    # conv_h (64-bit hash of conv_id) leads the key: Ray's range
-    # partitioner binary-searches each boundary tuple column by column
-    # and converts the WHOLE column to numpy per boundary — an
-    # object-array conversion for strings (~25 ms × boundaries ×
-    # blocks ≈ 100 s of the sf2 sort-map CPU, measured).  An integer
-    # first key empties the search range before the string column is
-    # ever touched (except in the one block holding the boundary's
-    # exact hash), and conv_id stays second so a hash collision cannot
-    # interleave two conversations.
-    sorted_ds = slim.sort(["conv_h", "conv_id", "turn_idx"])
+    if shuffle == "auto":
+        shuffle = ("none" if (source_path is not None
+                              and parquet_conv_clustered(source_path))
+                   else "sort")
+    if shuffle not in ("none", "sort", "hash"):
+        raise ValueError(f"unknown shuffle mode {shuffle!r}")
+    split_edges = shuffle != "hash"   # hash co-locates exactly
+    if shuffle == "none":
+        # no exchange: keep the derived columns (nothing to slim for)
+        # and skip conv_h; the projection still drops the heavy text
+        # payload so the materialized decided table stays small
+        def _proj(t: pa.Table, cfg=config) -> pa.Table:
+            return t.select(slim_columns(t.schema.names, cfg)
+                            + ["entity_key", "latency_threshold_s"])
+        parted = enriched.map_batches(
+            _proj, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None)
+    else:
+        # only slim columns ride the exchange — the text payload stays
+        # out entirely (route re-attaches it from the source) and the
+        # derivable entity/threshold columns are recomputed after
+        slim = enriched.map_batches(
+            lambda t, cfg=config: _slim_with_sort_hash(t, cfg),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        if shuffle == "sort":
+            # the assemble scan is the sort's only consumer — leave the
+            # sort lazy so sort-reduce and assemble run in ONE streamed
+            # execution.  conv_h (64-bit hash of conv_id) leads the
+            # key: Ray's range partitioner binary-searches each
+            # boundary tuple column by column and converts the WHOLE
+            # column to numpy per boundary — an object-array conversion
+            # for strings (~25 ms × boundaries × blocks ≈ 100 s of the
+            # sf2 sort-map CPU, measured).  An integer first key
+            # empties the search range before the string column is
+            # ever touched (except in the one block holding the
+            # boundary's exact hash), and conv_id stays second so a
+            # hash collision cannot interleave two conversations.
+            parted = slim.sort(["conv_h", "conv_id", "turn_idx"])
+        else:
+            slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            slim.context.max_hash_shuffle_aggregators = ncpus
+            parted = slim.repartition(num_blocks=num_partitions,
+                                      keys=["conv_h"])
 
     # sharded by block key so no single actor funnels every block's
     # push round-trip (or, in driver-boundary mode, all edge rows).
     # The pool is process-cached (actor startup per run costs more than
     # the pushes at bench scale); a per-run nonce isolates this run's
-    # partials and is cleared before every return.  A run that RAISES
-    # strands its nonce entries until process exit — acceptable: the
-    # payloads are kilobyte-bounded and the previous design (fresh
-    # actors per run) stranded whole actor processes on the same path.
+    # partials and the try/finally below clears it on EVERY exit path,
+    # including exceptions, so no run can strand entries in the cached
+    # pool.
     collectors = get_collectors(max(1, ncpus // 4))
     import uuid as _uuid
     nonce = _uuid.uuid4().hex[:8] + "/"
@@ -332,183 +441,208 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
     def _cleanup() -> None:
         for c in collectors:
             c.clear_prefix.remote(nonce)
-    stage = AssembleStage(config)
-    limit = config.limit_per_service
-    mseen_fn = metric_first_seen_fn(limit) if collect_agg else None
-    edge_scratch = None
-    if boundary_mode == "distributed":
-        import tempfile as _tf
-        edge_scratch = _tf.mkdtemp(prefix="edge-rows-")
+    try:
+        stage = AssembleStage(config)
+        limit = config.limit_per_service
+        mseen_fn = metric_first_seen_fn(limit) if collect_agg else None
+        edge_scratch = None
+        if boundary_mode == "distributed" and split_edges:
+            import tempfile as _tf
+            edge_scratch = _tf.mkdtemp(prefix="edge-rows-")
 
-    # re-derives the two columns dropped from the sort payload
-    # (slim_columns) — single shared implementation with EnrichStage
-    from asserts_otel_processor_ray.stages.enrich import (
-        EntityThresholdDeriver)
-    deriver = EntityThresholdDeriver(config)
+        # re-derives the two columns dropped from the sort payload
+        # (slim_columns) — single shared implementation with EnrichStage
+        from asserts_otel_processor_ray.stages.enrich import (
+            EntityThresholdDeriver)
+        deriver = EntityThresholdDeriver(config)
 
-    def assemble_and_push(t: pa.Table) -> pa.Table:
-        t = deriver.attach(t.drop_columns(["conv_h"]))
-        if t.num_rows == 0:
-            return stage(t)
-        key = block_key(t)
-        conv = t.column("conv_id")
-        em = pa.compute.or_(pa.compute.equal(conv, conv[0]),
-                            pa.compute.equal(conv, conv[t.num_rows - 1]))
-        edge = t.filter(em)
-        out = stage(t.filter(pa.compute.invert(em)))
-        items = [(nonce + "seg", key, _seg_cap_partial(out, limit))]
-        if edge_scratch is None:
-            items.append((nonce + "edge", key, edge))
+        def assemble_and_push(t: pa.Table, _mode=shuffle) -> pa.Table:
+            if _mode != "none":
+                t = deriver.attach(t.drop_columns(["conv_h"]))
+            if t.num_rows == 0:
+                return stage(t)
+            key = block_key(t)
+            if split_edges:
+                conv = t.column("conv_id")
+                if _mode == "none":
+                    # run-contiguity guard: the no-exchange plan is only
+                    # valid when each conv is one contiguous run; the
+                    # stats proof covers cross-row-group order, this
+                    # catches within-row-group interleaving
+                    conv_np = conv.to_numpy(zero_copy_only=False)
+                    runs = 1 + int(np.sum(conv_np[1:] != conv_np[:-1]))
+                    if runs != len(pd.unique(conv_np)):
+                        raise ValueError(
+                            "shuffle='none' requires conversation-clustered "
+                            "input, but a block has non-contiguous conv_id "
+                            "runs; rerun with shuffle='sort'")
+                em = pa.compute.or_(
+                    pa.compute.equal(conv, conv[0]),
+                    pa.compute.equal(conv, conv[t.num_rows - 1]))
+                edge = t.filter(em)
+                out = stage(t.filter(pa.compute.invert(em)))
+            else:
+                edge = None
+                out = stage(t)
+            items = [(nonce + "seg", key, _seg_cap_partial(out, limit))]
+            if edge is not None:
+                if edge_scratch is None:
+                    items.append((nonce + "edge", key, edge))
+                else:
+                    # spill edge rows to scratch parquet keyed by block —
+                    # no single process ever holds all boundary convs
+                    import hashlib as _h
+                    import os as _os
+                    import pyarrow.parquet as _pq
+                    fname = _h.sha256(repr(key).encode()).hexdigest()[:16]
+                    _pq.write_table(edge, _os.path.join(
+                        edge_scratch, f"edge-{fname}.parquet"))
+            if collect_agg:
+                items.append((nonce + "mseen", key, mseen_fn(out)))
+                items.append((nonce + "counts", key,
+                              _count_partials_tbl(out)))
+            # blocking get: the task completes only after its partials land
+            _ray.get(add_many_sharded(collectors, items))
+            return out
+
+        # NB: no repartition after this — a row-balancing repartition could
+        # split a conversation across blocks and break the per-batch passes.
+        interior = parted.map_batches(
+            assemble_and_push, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+            num_cpus=_heavy_scan_cpus()).materialize()
+
+        seg_tbls = _drain("seg")
+        mseen_tbls = _drain("mseen") if collect_agg else []
+        counts_tbls = _drain("counts") if collect_agg else []
+
+        boundary_ds = None
+        assembled_boundary = None
+        if edge_scratch is not None:
+            # distributed repair: group the spilled edge rows by conv and
+            # assemble each conversation where its rows land
+            import glob as _glob
+            if _glob.glob(edge_scratch + "/*.parquet"):
+                edges_ds = ray.data.read_parquet(edge_scratch)
+                boundary_ds = edges_ds.groupby("conv_id").map_groups(
+                    lambda g: stage(g), batch_format="pyarrow")
+                part_fns = [(nonce + "seg",
+                             lambda t: _seg_cap_partial(t, limit))]
+                if collect_agg:
+                    part_fns += [(nonce + "mseen", mseen_fn),
+                                 (nonce + "counts", _count_partials_tbl)]
+
+                def boundary_push(t: pa.Table) -> pa.Table:
+                    items = [(kind, ("boundary",) + block_key(t), f(t))
+                             for kind, f in part_fns]
+                    _ray.get(add_many_sharded(collectors, items))
+                    return t
+
+                boundary_ds = boundary_ds.map_batches(
+                    boundary_push, batch_format="pyarrow",
+                    batch_size=None).materialize()
+                seg_tbls = _drain("seg")
+                if collect_agg:
+                    mseen_tbls = _drain("mseen")
+                    counts_tbls = _drain("counts")
+            import shutil as _sh
+            _sh.rmtree(edge_scratch, ignore_errors=True)
+            assembled = (interior.union(boundary_ds)
+                         if boundary_ds is not None else interior)
         else:
-            # spill edge rows to scratch parquet keyed by block — no
-            # single process ever holds all boundary conversations
-            import hashlib as _h
-            import os as _os
-            import pyarrow.parquet as _pq
-            fname = _h.sha256(repr(key).encode()).hexdigest()[:16]
-            _pq.write_table(edge, _os.path.join(
-                edge_scratch, f"edge-{fname}.parquet"))
-        if collect_agg:
-            items.append((nonce + "mseen", key, mseen_fn(out)))
-            items.append((nonce + "counts", key,
-                          _count_partials_tbl(out)))
-        # blocking get: the task completes only after its partials land
-        _ray.get(add_many_sharded(collectors, items))
-        return out
+            # driver repair (bounded: ≤ 2 convs × blocks)
+            edge_tbls = [t for t in _drain("edge") if t.num_rows > 0]
+            if edge_tbls:
+                assembled_boundary = stage(pa.concat_tables(edge_tbls))
+                seg_tbls.append(_seg_cap_partial(assembled_boundary, limit))
+                if collect_agg:
+                    mseen_tbls.append(mseen_fn(assembled_boundary))
+                    counts_tbls.append(
+                        _count_partials_tbl(assembled_boundary))
+                assembled = interior.union(
+                    ray.data.from_arrow(assembled_boundary))
+            else:
+                assembled = interior
 
-    # NB: no repartition after this — a row-balancing repartition could
-    # split a conversation across blocks and break the per-batch passes.
-    interior = sorted_ds.map_batches(
-        assemble_and_push, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-        num_cpus=_heavy_scan_cpus()).materialize()
+        allowed = allowed_pairs_from_df(
+            _tbls_to_df(seg_tbls), "entity_key", "seg_request",
+            "seg_first_seen", limit)
+        counts_df = _tbls_to_df(counts_tbls) if collect_agg else None
+        mseen_df = _tbls_to_df(mseen_tbls) if collect_agg else None
+        metric_allowed: frozenset[str] = frozenset()
+        if collect_agg and mseen_df is not None:
+            metric_allowed = allowed_pairs_from_df(
+                mseen_df, "entity_key", "seg_request", "seg_first_seen",
+                limit)
 
-    seg_tbls = _drain("seg")
-    mseen_tbls = _drain("mseen") if collect_agg else []
-    counts_tbls = _drain("counts") if collect_agg else []
+        if not with_decide:
+            return DecidedBuild(decided=assembled, allowed=allowed,
+                                counts_df=counts_df, mseen_df=mseen_df,
+                                metric_allowed=metric_allowed)
 
-    boundary_ds = None
-    assembled_boundary = None
-    if edge_scratch is not None:
-        # distributed repair: group the spilled edge rows by conv and
-        # assemble each conversation where its rows land
-        import glob as _glob
-        if _glob.glob(edge_scratch + "/*.parquet"):
-            edges_ds = ray.data.read_parquet(edge_scratch)
-            boundary_ds = edges_ds.groupby("conv_id").map_groups(
-                lambda g: stage(g), batch_format="pyarrow")
-            part_fns = [(nonce + "seg",
-                         lambda t: _seg_cap_partial(t, limit))]
-            if collect_agg:
-                part_fns += [(nonce + "mseen", mseen_fn),
-                             (nonce + "counts", _count_partials_tbl)]
+        # the flush partials fold into the decide pass: metric_allowed is
+        # known BEFORE decide launches, so the winner top-K partials and
+        # the A4 histogram partials ride the collector — no extra scan of
+        # the decided table exists anywhere in the pipeline
+        win_fn = None
+        if winner_scan:
+            from asserts_otel_processor_ray.stages.aggregate import (
+                histogram_partial_fn)
+            hist_fn = (histogram_partial_fn(config, metric_allowed)
+                       if capture_hist else None)
+            win_fn = _winner_partials_fn(config.per_request_topk, hist_fn,
+                                         window_us=window_us)
 
-            def boundary_push(t: pa.Table) -> pa.Table:
-                items = [(kind, ("boundary",) + block_key(t), f(t))
-                         for kind, f in part_fns]
-                _ray.get(add_many_sharded(collectors, items))
-                return t
+        stage_d = DecideStage(config, allowed)
 
-            boundary_ds = boundary_ds.map_batches(
-                boundary_push, batch_format="pyarrow",
-                batch_size=None).materialize()
-            seg_tbls = _drain("seg")
-            if collect_agg:
-                mseen_tbls = _drain("mseen")
-                counts_tbls = _drain("counts")
-        import shutil as _sh
-        _sh.rmtree(edge_scratch, ignore_errors=True)
-        assembled = (interior.union(boundary_ds)
-                     if boundary_ds is not None else interior)
-    else:
-        # driver repair (bounded: ≤ 2 convs × blocks)
-        edge_tbls = [t for t in _drain("edge") if t.num_rows > 0]
-        if edge_tbls:
-            assembled_boundary = stage(pa.concat_tables(edge_tbls))
-            seg_tbls.append(_seg_cap_partial(assembled_boundary, limit))
-            if collect_agg:
-                mseen_tbls.append(mseen_fn(assembled_boundary))
-                counts_tbls.append(
-                    _count_partials_tbl(assembled_boundary))
-            assembled = interior.union(
-                ray.data.from_arrow(assembled_boundary))
-        else:
-            assembled = interior
+        def decide_fn(t: pa.Table) -> pa.Table:
+            out = stage_d(t)
+            if win_fn is not None:
+                # payload carries the input block's row count so the drain
+                # can PROVE full coverage (Σ rows == decided.count()); any
+                # lost or key-collided partial fails the check and the
+                # caller falls back to an explicit scan
+                _ray.get(add_many_sharded(collectors, [
+                    (nonce + "winhist", ("d",) + block_key(t),
+                     (t.num_rows, win_fn(out)))]))
+            if drop_intermediate:
+                keep = [c for c in out.schema.names
+                        if c not in _INTERMEDIATE_COLS]
+                out = out.select(keep)
+            return out
 
-    allowed = allowed_pairs_from_df(
-        _tbls_to_df(seg_tbls), "entity_key", "seg_request",
-        "seg_first_seen", limit)
-    counts_df = _tbls_to_df(counts_tbls) if collect_agg else None
-    mseen_df = _tbls_to_df(mseen_tbls) if collect_agg else None
-    metric_allowed: frozenset[str] = frozenset()
-    if collect_agg and mseen_df is not None:
-        metric_allowed = allowed_pairs_from_df(
-            mseen_df, "entity_key", "seg_request", "seg_first_seen",
-            limit)
-
-    if not with_decide:
-        _cleanup()
-        return DecidedBuild(decided=assembled, allowed=allowed,
+        decided = assembled.map_batches(
+            decide_fn, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None, num_cpus=_heavy_scan_cpus()).materialize()
+        winhist_tbls = None
+        winhist_coverage = 0
+        if winner_scan:
+            pairs = _drain("winhist")
+            winhist_tbls = [t for _, t in pairs]
+            winhist_coverage = sum(n for n, _ in pairs)
+        return DecidedBuild(decided=decided, allowed=allowed,
                             counts_df=counts_df, mseen_df=mseen_df,
-                            metric_allowed=metric_allowed)
-
-    # the flush partials fold into the decide pass: metric_allowed is
-    # known BEFORE decide launches, so the winner top-K partials and
-    # the A4 histogram partials ride the collector — no extra scan of
-    # the decided table exists anywhere in the pipeline
-    win_fn = None
-    if winner_scan:
-        from asserts_otel_processor_ray.stages.aggregate import (
-            histogram_partial_fn)
-        hist_fn = (histogram_partial_fn(config, metric_allowed)
-                   if capture_hist else None)
-        win_fn = _winner_partials_fn(config.per_request_topk, hist_fn,
-                                     window_us=window_us)
-
-    stage_d = DecideStage(config, allowed)
-
-    def decide_fn(t: pa.Table) -> pa.Table:
-        out = stage_d(t)
-        if win_fn is not None:
-            # payload carries the input block's row count so the drain
-            # can PROVE full coverage (Σ rows == decided.count()); any
-            # lost or key-collided partial fails the check and the
-            # caller falls back to an explicit scan
-            _ray.get(add_many_sharded(collectors, [
-                (nonce + "winhist", ("d",) + block_key(t),
-                 (t.num_rows, win_fn(out)))]))
-        if drop_intermediate:
-            keep = [c for c in out.schema.names
-                    if c not in _INTERMEDIATE_COLS]
-            out = out.select(keep)
-        return out
-
-    decided = assembled.map_batches(
-        decide_fn, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None, num_cpus=_heavy_scan_cpus()).materialize()
-    winhist_tbls = None
-    winhist_coverage = 0
-    if winner_scan:
-        pairs = _drain("winhist")
-        winhist_tbls = [t for _, t in pairs]
-        winhist_coverage = sum(n for n, _ in pairs)
-    _cleanup()
-    return DecidedBuild(decided=decided, allowed=allowed,
-                        counts_df=counts_df, mseen_df=mseen_df,
-                        metric_allowed=metric_allowed,
-                        winhist_tbls=winhist_tbls,
-                        winhist_coverage=winhist_coverage)
+                            metric_allowed=metric_allowed,
+                            winhist_tbls=winhist_tbls,
+                            winhist_coverage=winhist_coverage)
+    finally:
+        # exception-safe: a run that raises must not strand
+        # its nonce's entries in the cached collector pool
+        _cleanup()
 
 
 def build_decided(ds: "ray.data.Dataset", config: PipelineConfig, *,
                   num_partitions: int | None = None,
                   enrich_concurrency=None,
                   drop_intermediate: bool = False,
+                  source_path: str | None = None,
+                  shuffle: str = "auto",
                   ) -> tuple["ray.data.Dataset", frozenset[str]]:
     """Compatibility wrapper: (decided, allowed)."""
     b = build_decided_ex(ds, config, num_partitions=num_partitions,
                          enrich_concurrency=enrich_concurrency,
-                         drop_intermediate=drop_intermediate)
+                         drop_intermediate=drop_intermediate,
+                         source_path=source_path, shuffle=shuffle)
     return b.decided, b.allowed
 
 
@@ -809,7 +943,9 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             b = build_decided_ex(
                 passthrough, config, num_partitions=num_partitions,
                 with_decide=False, collect_agg=True,
-                already_enriched=True)
+                already_enriched=True,
+                source_path=(input_path if isinstance(input_path, str)
+                             else None))
             metric_allowed = allowed_pairs_from_df(
                 b.mseen_df, "entity_key", "seg_request",
                 "seg_first_seen", config.limit_per_service)
@@ -842,7 +978,9 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             enrich_concurrency=enrich_concurrency,
             drop_intermediate=True, collect_agg=with_aggregates,
             winner_scan=True,
-            capture_hist=with_aggregates and config.capture_metrics)
+            capture_hist=with_aggregates and config.capture_metrics,
+            source_path=(input_path if isinstance(input_path, str)
+                         else None))
         decided = b.decided
         winhist_tbls = b.winhist_tbls
         if checkpoint_dir is not None:
@@ -1031,7 +1169,10 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
                          drop_intermediate=True,
                          collect_agg=with_aggregates,
                          winner_scan=True, capture_hist=capture_hist,
-                         window_us=window_us)
+                         window_us=window_us,
+                         source_path=(input_path
+                                      if isinstance(input_path, str)
+                                      else None))
     decided = b.decided
     winhist_tbls = b.winhist_tbls
     if b.winhist_coverage != decided.count():

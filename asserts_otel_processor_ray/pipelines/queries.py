@@ -58,7 +58,8 @@ def artifacts(sf_dir: str, config: PipelineConfig | None = None) -> dict:
     config = config or default_config()
     path = ensure_transcripts(sf_dir)
     source = read_transcripts(path)
-    decided, allowed = build_decided(source, config, num_partitions=16)
+    decided, allowed = build_decided(source, config, num_partitions=16,
+                                     source_path=path)
     winners, normal_rows = select_winners(decided, config,
                                           return_normal=True)
     winner_map = {r["conv_id"]: r["sample_type"] for r in winners}

@@ -1,0 +1,84 @@
+"""The three partitioning plans (none / sort / hash) must produce
+value-identical decided tables and identical winner sets; the "none"
+plan must be auto-selected only when parquet statistics prove the
+input is conversation-clustered, and its runtime guard must reject
+unclustered blocks."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from asserts_otel_processor_ray.config import default_config
+from asserts_otel_processor_ray.pipelines.pipeline import (
+    build_decided_ex,
+    parquet_conv_clustered,
+    read_transcripts,
+    select_winners,
+)
+from asserts_otel_processor_ray.sources.synthetic import ensure_transcripts
+
+SF_DIR = "/tmp/graft_sf/sf0.0003"
+
+
+def _decided_df(path, shuffle, **kw):
+    cfg = default_config()
+    b = build_decided_ex(read_transcripts(path), cfg, num_partitions=8,
+                         shuffle=shuffle, **kw)
+    df = b.decided.to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    df = df.reindex(sorted(df.columns), axis=1)
+    winners = select_winners(b.decided, cfg)
+    return df, sorted(b.allowed), winners
+
+
+def test_modes_value_identical(ray_session):
+    path = ensure_transcripts(SF_DIR)
+    base, allowed0, win0 = _decided_df(path, "sort")
+    for mode in ("none", "hash"):
+        df, allowed, win = _decided_df(path, mode)
+        assert list(df.columns) == list(base.columns), mode
+        pd.testing.assert_frame_equal(df, base, check_dtype=False), mode
+        assert allowed == allowed0, mode
+        assert win == win0, mode
+
+
+def test_auto_picks_none_for_clustered(ray_session):
+    path = ensure_transcripts(SF_DIR)
+    assert parquet_conv_clustered(path)
+    # auto with a clustered source_path must equal the explicit modes
+    df_auto, _, _ = _decided_df(path, "auto", source_path=path)
+    df_none, _, _ = _decided_df(path, "none")
+    pd.testing.assert_frame_equal(df_auto, df_none, check_dtype=False)
+
+
+def _unclustered_copy(tmp_path) -> str:
+    src = ensure_transcripts(SF_DIR)
+    files = sorted(os.listdir(src))
+    tbl = pa.concat_tables([pq.read_table(os.path.join(src, f))
+                            for f in files])
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(tbl.num_rows)
+    out = str(tmp_path / "shuffled")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl.take(pa.array(perm)),
+                   os.path.join(out, "part-00000.parquet"),
+                   row_group_size=512)
+    return out
+
+
+def test_unclustered_detected_and_guarded(ray_session, tmp_path):
+    bad = _unclustered_copy(tmp_path)
+    # plan-time: statistics refuse the no-exchange plan
+    assert not parquet_conv_clustered(bad)
+    # auto falls back to sort and still matches the clustered run's
+    # values (same rows, different physical layout)
+    good, _, _ = _decided_df(ensure_transcripts(SF_DIR), "sort")
+    df, _, _ = _decided_df(bad, "auto", source_path=bad)
+    pd.testing.assert_frame_equal(df, good, check_dtype=False)
+    # run-time: forcing shuffle="none" on unclustered input raises
+    with pytest.raises(Exception, match="conversation-clustered"):
+        _decided_df(bad, "none")
