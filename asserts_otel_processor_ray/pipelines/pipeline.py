@@ -818,8 +818,18 @@ def build_routed_ex(source: "ray.data.Dataset",
                 kwargs["override_num_blocks"] = num_blocks
             source = ray.data.read_parquet(
                 source_path, columns=TRANSCRIPT_SCHEMA.names, **kwargs)
-        except Exception:
-            pass  # fall back to the caller's unfiltered scan
+        except (TypeError, ValueError, pa.ArrowInvalid,
+                pa.ArrowNotImplementedError) as ex:
+            # fall back to the caller's unfiltered scan — but say so:
+            # a silently-disabled pushdown re-reads EVERY byte of the
+            # input on the route pass.  (Ray's read is lazy, so a
+            # filter rejected at scan time still surfaces at
+            # materialize; this guards plan construction only.)
+            import logging
+            logging.getLogger(__name__).warning(
+                "route-scan filter pushdown disabled (%s: %s); "
+                "falling back to the unfiltered source scan",
+                type(ex).__name__, ex)
     winner_convs = pa.array(sorted(winner_map), pa.string())
     wtbls = [t for t in _ray.get(
         decided.map_batches(

@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from asserts_otel_processor_ray.stages.text_analysis import (
+    _hex16,
     _tokens_series,
     shingle_hashes,
     token_hashes,
@@ -29,26 +30,103 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_params(k: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded permutation constants (uint64 < 2^61-1); the SAME values
+    the generated DuckDB oracles embed as HUGEINT literals
+    (pipelines/extra_queries.py), so the dtype change from np.object_
+    is invisible to the byte-level comparison."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(object)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
+_U64 = np.uint64
+_P61 = _U64(_MERSENNE)
+_M32 = _U64(0xFFFFFFFF)
+
+
+def _perm_min_chunked(hashes: np.ndarray, docs: np.ndarray,
+                      a: np.ndarray, b: np.ndarray, k: int,
+                      n_docs: int, chunk: int = 32768) -> np.ndarray:
+    """Per-doc segment-min of ((a[i]*h + b[i]) mod 2^61-1) for all k
+    permutations — the MinHash inner loop.
+
+    Unrolled schoolbook 32-bit-limb multiply in preallocated uint64
+    scratch buffers (no allocation per permutation), processed in
+    L2-resident chunks so the 32-permutation sweep reads each shingle
+    hash from DRAM once.  Bit-identical to exact bigint arithmetic
+    (tests/test_mersenne_kernel.py); measured ~14x vs the np.object_
+    kernel it replaces."""
+    n = len(hashes)
+    sig = np.full((k, n_docs), np.iinfo(np.int64).max, dtype=np.int64)
+    if n == 0:
+        return sig
+    al, ah = a & _M32, a >> _U64(32)
+    c = min(chunk, n)
+    ll = np.empty(c, _U64)
+    mid = np.empty(c, _U64)
+    t1 = np.empty(c, _U64)
+    t2 = np.empty(c, _U64)
+    hi = np.empty(c, _U64)
+    lo = np.empty(c, _U64)
+    for s in range(0, n, c):
+        e = min(s + c, n)
+        m = e - s
+        hl_c = hashes[s:e] & _M32
+        hh_c = hashes[s:e] >> _U64(32)
+        d_c = docs[s:e]
+        llv, midv = ll[:m], mid[:m]
+        t1v, t2v = t1[:m], t2[:m]
+        hiv, lov = hi[:m], lo[:m]
+        for i in range(k):
+            # 128-bit product a[i]*h from 32-bit limbs: hi·2^64 + lo
+            np.multiply(hl_c, al[i], out=llv)
+            np.multiply(hl_c, ah[i], out=midv)
+            np.multiply(hh_c, al[i], out=t1v)
+            midv += t1v                       # xl*yh + xh*yl < 2^62
+            np.multiply(hh_c, ah[i], out=hiv)  # xh*yh < 2^58
+            np.right_shift(llv, _U64(32), out=t1v)
+            np.bitwise_and(midv, _M32, out=t2v)
+            t1v += t2v                        # carry column
+            np.bitwise_and(llv, _M32, out=lov)
+            np.bitwise_and(t1v, _M32, out=t2v)
+            t2v <<= _U64(32)
+            lov |= t2v
+            np.right_shift(midv, _U64(32), out=t2v)
+            hiv += t2v
+            np.right_shift(t1v, _U64(32), out=t2v)
+            hiv += t2v
+            # product ≡ 8·hi + lo (mod 2^61-1); add b[i]; fold twice
+            np.bitwise_and(lov, _P61, out=t1v)
+            np.right_shift(lov, _U64(61), out=t2v)
+            t1v += t2v
+            hiv <<= _U64(3)
+            t1v += hiv
+            t1v += b[i]
+            np.bitwise_and(t1v, _P61, out=t2v)
+            t1v >>= _U64(61)
+            t2v += t1v
+            np.bitwise_and(t2v, _P61, out=t1v)
+            t2v >>= _U64(61)
+            t1v += t2v
+            mask = t1v >= _P61
+            np.subtract(t1v, _P61, out=t1v, where=mask)
+            np.minimum.at(sig[i], d_c, t1v.view(np.int64))
+    return sig
+
+
 def minhash_signatures_batch(batch: pa.Table, k: int = 32,
-                             w: int = 3) -> pa.Table:
+                             w: int = 3,
+                             cache: dict | None = None) -> pa.Table:
     """doc_id + k minhash values over w-token shingles (vectorized:
-    np.minimum.at segment-min per hash function)."""
+    native uint64 mod-(2^61-1) permutations via _perm_min_chunked —
+    no object-dtype bigint arithmetic anywhere)."""
     doc_id = batch.column("doc_id").to_numpy()
     toks = _tokens_series(batch.column("text"))
-    hashes, docs = shingle_hashes(toks, w)
+    hashes, docs = shingle_hashes(toks, w, cache)
     n = len(doc_id)
     a, b = _hash_params(k)
-    sig = np.full((k, n), np.iinfo(np.int64).max, dtype=np.int64)
-    h_obj = hashes.astype(object)
-    for i in range(k):
-        hv = ((a[i] * h_obj + b[i]) % _MERSENNE).astype(np.int64)
-        np.minimum.at(sig[i], docs, hv)
+    sig = _perm_min_chunked(hashes, docs, a, b, k, n)
     cols = {"doc_id": pa.array(doc_id, pa.int64())}
     for i in range(k):
         cols[f"mh{i:02d}"] = pa.array(sig[i], pa.int64())
@@ -255,17 +333,8 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
 
 
 # ---- SimHash -------------------------------------------------------------
-
-def _hex16(vals: np.ndarray) -> np.ndarray:
-    """uint64 → 16-char lowercase hex, vectorized (big-endian bytes →
-    hexlify → fixed-width string view; no per-row format())."""
-    import binascii
-    if len(vals) == 0:
-        return np.array([], dtype="U16")
-    b = binascii.hexlify(np.ascontiguousarray(
-        vals.astype(">u8")).tobytes())
-    return np.frombuffer(b, dtype="S16").astype("U16")
-
+# (_hex16 moved to text_analysis.py so fingerprint_batch shares it; the
+# import above keeps this module's historical name working.)
 
 def _unhex16(hexes) -> np.ndarray:
     """16-char hex strings → uint64, vectorized."""

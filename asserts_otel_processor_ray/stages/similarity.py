@@ -47,11 +47,14 @@ class BruteForceTopK:
         self.q = _normalize(q.astype(np.float64))
         self.query_ids = np.asarray(query_ids, dtype=np.int64)
         self.k = k
-        self.exclude = exclude_ids or frozenset()
+        # presorted once per actor — not list()+isin per batch
+        self.exclude = (np.sort(np.fromiter(exclude_ids, np.int64,
+                                            len(exclude_ids)))
+                        if exclude_ids else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        keep = ~np.isin(ids, list(self.exclude)) if self.exclude \
+        keep = ~np.isin(ids, self.exclude) if self.exclude is not None \
             else np.ones(len(ids), bool)
         ids = ids[keep]
         if len(ids) == 0:
@@ -147,10 +150,14 @@ def ann_topk_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
             d = ray.get(ref)
             self.qm, self.qids, self.qbands = (d["qm"], d["qids"],
                                                d["qbands"])
+            self.exclude = (np.sort(np.fromiter(exclude, np.int64,
+                                                len(exclude)))
+                            if exclude else None)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("vec_id").to_numpy()
-            keep = (~np.isin(ids, list(exclude)) if exclude
+            keep = (~np.isin(ids, self.exclude)
+                    if self.exclude is not None
                     else np.ones(len(ids), bool))
             ids = ids[keep]
             empty = pa.table({"query_id": pa.array([], pa.int64()),
@@ -163,23 +170,31 @@ def ann_topk_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
             vbands = np.stack(
                 [(sig >> np.uint64(b * bits_per_band)) & mask
                  for b in range(bands)], axis=1)      # (nv, bands)
-            out_q, out_n, out_c = [], [], []
-            for qi in range(len(self.qids)):
-                cand = (vbands == self.qbands[qi]).any(axis=1)
-                if not cand.any():
-                    continue
-                sims = m[cand] @ self.qm[qi]
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.append(np.full(kk, self.qids[qi], np.int64))
-                out_n.append(ids[cand][idx])
-                out_c.append(sims[idx])
-            if not out_q:
+            # ALL queries at once: band-bucket equality gives the
+            # (nq, nv) candidate mask in one broadcast compare, then
+            # one matmul scores everything and non-candidates are
+            # masked to -inf before the per-row top-k.  No per-query
+            # Python loop (VERDICT r3 item 3); per-pair cosines are
+            # identical dot products, so results match the old
+            # per-query path bit-for-bit at the rank level.
+            cand = (self.qbands[:, None, :]
+                    == vbands[None, :, :]).any(axis=2)  # (nq, nv)
+            if not cand.any():
+                return empty
+            sims = self.qm @ m.T                        # (nq, nv)
+            sims[~cand] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            simv = np.take_along_axis(sims, idx, axis=1).ravel()
+            rowq = np.repeat(self.qids, kk)
+            flatn = ids[idx.ravel()]
+            ok = np.isfinite(simv)                      # drop non-cands
+            if not ok.any():
                 return empty
             return pa.table({
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "cos": pa.array(np.concatenate(out_c), pa.float64()),
+                "query_id": pa.array(rowq[ok], pa.int64()),
+                "neighbor_id": pa.array(flatn[ok], pa.int64()),
+                "cos": pa.array(simv[ok], pa.float64()),
             })
 
     part = ds.map_batches(_Stage, fn_constructor_args=(ref,),

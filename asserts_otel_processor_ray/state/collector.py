@@ -112,7 +112,10 @@ def get_collectors(n: int) -> list:
     n = max(1, n)
     if _POOL is not None and _POOL_N == n:
         try:
-            ray.get(_POOL[0].tables.remote("__ping__"))
+            # liveness-ping EVERY shard: any dead actor (OOM, node
+            # loss) must invalidate the whole pool, else every later
+            # run fails on add_many/drain to that shard forever
+            ray.get([c.tables.remote("__ping__") for c in _POOL])
             return _POOL
         except Exception:
             pass
@@ -133,13 +136,28 @@ def add_many_sharded(collectors: list, items: list[tuple]):
             for s, batch in by_shard.items()]
 
 
+def invalidate_pool() -> None:
+    """Drop the cached pool so the next get_collectors() recreates it
+    (call after a shard actor is observed dead mid-run)."""
+    global _POOL, _POOL_N
+    _POOL, _POOL_N = None, 0
+
+
 def drain_tables_sharded(collectors: list, kind: str) -> list:
     """drain_tables across every shard (order is irrelevant: all
     consumers merge/concat the partials)."""
     import pickle
     refs = [c.tables.remote(kind) for c in collectors]
+    try:
+        got = ray.get(refs)
+    except ray.exceptions.RayActorError:
+        # a shard died mid-run: poison the cache so the NEXT run gets a
+        # fresh pool instead of failing forever, then surface the error
+        # (this run's partials are incomplete either way)
+        invalidate_pool()
+        raise
     out = []
-    for vals in ray.get(refs):
+    for vals in got:
         out.extend(pickle.loads(v) if isinstance(v, bytes) else v
                    for v in vals)
     return out
