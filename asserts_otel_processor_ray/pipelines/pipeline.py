@@ -295,6 +295,147 @@ def _tbls_to_df(tbls: list[pa.Table]) -> pd.DataFrame:
                             promote_options="permissive").to_pandas()
 
 
+# Above this many drained partial rows, the driver-side final merges
+# pre-reduce through a DISTRIBUTED groupby first (the q_window_dedup
+# recipe) so the driver frame is bounded by distinct groups, not
+# blocks × groups.  ~10⁴ blocks of bounded partials stay comfortably
+# under it; 10⁵+ blocks at 100 TB trip the distributed path.  Module
+# level so tests can force the distributed path with a tiny value.
+DRIVER_PARTIAL_ROW_BUDGET = 2_000_000
+
+
+def _cap_partials_df(tbls: list[pa.Table]) -> pd.DataFrame:
+    """seg/mseen cap partials → driver frame for allowed_pairs_from_df.
+
+    Beyond DRIVER_PARTIAL_ROW_BUDGET rows the min-first-seen reduce runs
+    as a distributed groupby (min is the semilattice these partials
+    already use), so the driver only ranks one row per distinct
+    (entity, request) pair."""
+    tbls = [t for t in tbls if t.num_rows > 0]
+    total = sum(t.num_rows for t in tbls)
+    if total <= DRIVER_PARTIAL_ROW_BUDGET:
+        return _tbls_to_df(tbls)
+    import ray as _ray
+    from ray.data.aggregate import Min
+    red = (ray.data.from_arrow(tbls)
+           .groupby(["entity_key", "seg_request"])
+           .aggregate(Min("seg_first_seen")))
+    df = _tbls_to_df(list(_ray.get(red.to_arrow_refs())))
+    return df.rename(columns={"min(seg_first_seen)": "seg_first_seen"})
+
+
+def _normalize_to_schema(tbls: list[pa.Table]) -> list[pa.Table]:
+    """Give every table the unified column set (null-filled) so Ray can
+    treat them as one dataset; cheap — touches schemas, not data."""
+    schema = pa.unify_schemas([t.schema for t in tbls],
+                              promote_options="permissive")
+    out = []
+    for t in tbls:
+        for f in schema:
+            if t.schema.get_field_index(f.name) < 0:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        out.append(t.select([f.name for f in schema]).cast(schema))
+    return out
+
+
+def _reduce_winhist(tbls: list[pa.Table], config: PipelineConfig,
+                    capture_hist: bool, window: bool
+                    ) -> "tuple[pa.Table | None, pa.Table | None]":
+    """kind-tagged winner(+hist) partials → (win_tbl, hist_tbl).
+
+    Driver Arrow path below DRIVER_PARTIAL_ROW_BUDGET rows (group_by +
+    filter, multithreaded).  Beyond it, each kind pre-reduces
+    DISTRIBUTED first — item → per-key top-K (a total order: arrival
+    keys are unique, so two-phase is exact), ncand → min-arrival row
+    per bucket, hist → label×le sums — and the driver only sees one row
+    per distinct group (VERDICT r3 item 5)."""
+    import pyarrow.compute as pc
+    tbls = [t for t in tbls if t.num_rows > 0]
+    if not tbls:
+        return None, None
+    win_cols = ["kind", "conv_id", "entity", "request", "qtype",
+                "sample_type", "latency", "arrival_key", "bucket"]
+    base_keys: list[str] = []
+    if window:
+        win_cols.append("window")
+        base_keys = ["window"]
+    nc_keys = base_keys + ["entity", "request", "bucket"]
+    total = sum(t.num_rows for t in tbls)
+
+    if total <= DRIVER_PARTIAL_ROW_BUDGET:
+        tbl = pa.concat_tables(tbls, promote_options="permissive")
+        kind = tbl.column("kind")
+        nc_tbl = tbl.filter(pc.equal(kind, "ncand"))
+        if nc_tbl.num_rows:
+            # arrival_key embeds conv_id so the min selects whole rows
+            mins = nc_tbl.group_by(nc_keys).aggregate(
+                [("arrival_key", "min")])
+            nc_tbl = nc_tbl.filter(pc.is_in(
+                nc_tbl.column("arrival_key"),
+                value_set=mins.column("arrival_key_min")))
+        it_tbl = tbl.filter(pc.equal(kind, "item"))
+        win_tbl = pa.concat_tables([it_tbl.select(win_cols),
+                                    nc_tbl.select(win_cols)])
+        hist_tbl = (tbl.filter(pc.equal(kind, "hist"))
+                    if capture_hist else None)
+        return win_tbl, hist_tbl
+
+    # ---- distributed pre-reduce ------------------------------------
+    import ray as _ray
+    from asserts_otel_processor_ray.stages.aggregate import (
+        histogram_label_columns)
+    from asserts_otel_processor_ray.stages.topk import topk_df
+    k = config.per_request_topk
+    item_keys = base_keys + ["entity", "request", "qtype"]
+    ds = ray.data.from_arrow(_normalize_to_schema(tbls))
+
+    def _sel(t: pa.Table, kind_val: str) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), kind_val))
+
+    def _item_red(df: pd.DataFrame) -> pd.DataFrame:
+        return topk_df(df, k, keys=item_keys)[win_cols]
+
+    def _nc_red(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby(nc_keys, sort=False)["arrival_key"].idxmin()
+        return df.loc[idx][win_cols]
+
+    def _collect(d: "ray.data.Dataset") -> "pa.Table | None":
+        parts = [t for t in _ray.get(d.to_arrow_refs()) if t.num_rows]
+        return (pa.concat_tables(parts, promote_options="permissive")
+                if parts else None)
+
+    items = _collect(
+        ds.map_batches(lambda t: _sel(t, "item"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(item_keys).map_groups(_item_red, batch_format="pandas"))
+    ncs = _collect(
+        ds.map_batches(lambda t: _sel(t, "ncand"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(nc_keys).map_groups(_nc_red, batch_format="pandas"))
+    parts = [t.select(win_cols) for t in (items, ncs) if t is not None]
+    win_tbl = (pa.concat_tables(parts, promote_options="permissive")
+               if parts else None)
+
+    hist_tbl = None
+    if capture_hist:
+        from ray.data.aggregate import Sum
+        hkeys = ["namespace", "service", "span_kind", "status_code",
+                 *histogram_label_columns(config), "le"]
+        hvals = ["bucket_count", "latency_sum", "latency_count"]
+        red = (ds.map_batches(
+                   lambda t, hk=hkeys, hv=hvals:
+                   _sel(t, "hist").select(hk + hv),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .groupby(hkeys)
+               .aggregate(*[Sum(v) for v in hvals]))
+        hist_tbl = _collect(red)
+        if hist_tbl is not None:
+            hist_tbl = hist_tbl.rename_columns(
+                [c[4:-1] if c.startswith("sum(") else c
+                 for c in hist_tbl.schema.names])
+    return win_tbl, hist_tbl
+
+
 def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                      num_partitions: int | None = None,
                      enrich_concurrency=None,
@@ -565,10 +706,10 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                 assembled = interior
 
         allowed = allowed_pairs_from_df(
-            _tbls_to_df(seg_tbls), "entity_key", "seg_request",
+            _cap_partials_df(seg_tbls), "entity_key", "seg_request",
             "seg_first_seen", limit)
         counts_df = _tbls_to_df(counts_tbls) if collect_agg else None
-        mseen_df = _tbls_to_df(mseen_tbls) if collect_agg else None
+        mseen_df = _cap_partials_df(mseen_tbls) if collect_agg else None
         metric_allowed: frozenset[str] = frozenset()
         if collect_agg and mseen_df is not None:
             metric_allowed = allowed_pairs_from_df(
@@ -1033,37 +1174,15 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
             num_cpus=_heavy_scan_cpus())
         winhist_tbls = list(_ray.get(scan.to_arrow_refs()))
 
-    # driver merge of the kind-tagged partials — Arrow end-to-end (a
-    # pandas multi-string-key groupby over blocks × label-space rows
-    # was the driver bottleneck at high block counts)
-    import pyarrow.compute as pc
-    tbls = [t for t in winhist_tbls if t.num_rows > 0]
-    hist_tbl = None
-    if not tbls:
-        winners = []
-    else:
-        tbl = pa.concat_tables(tbls, promote_options="permissive")
-        kind = tbl.column("kind")
-        win_cols = ["kind", "conv_id", "entity", "request", "qtype",
-                    "sample_type", "latency", "arrival_key", "bucket"]
-        # pre-reduce the (large: one per conv per bucket) normal
-        # candidates in Arrow before pandas sees them: min arrival per
-        # (entity, request, bucket); arrival_key embeds conv_id so the
-        # min selects whole rows exactly
-        nc_tbl = tbl.filter(pc.equal(kind, "ncand"))
-        if nc_tbl.num_rows:
-            mins = nc_tbl.group_by(
-                ["entity", "request", "bucket"]).aggregate(
-                [("arrival_key", "min")])
-            nc_tbl = nc_tbl.filter(pc.is_in(
-                nc_tbl.column("arrival_key"),
-                value_set=mins.column("arrival_key_min")))
-        it_tbl = tbl.filter(pc.equal(kind, "item"))
-        win_tbl = pa.concat_tables([it_tbl.select(win_cols),
-                                    nc_tbl.select(win_cols)])
-        winners = _finish_winners(win_tbl.to_pandas(), config)
-        if hist_fn is not None:
-            hist_tbl = tbl.filter(pc.equal(kind, "hist"))
+    # driver merge of the kind-tagged partials — Arrow end-to-end below
+    # the row budget (a pandas multi-string-key groupby over blocks ×
+    # label-space rows was the driver bottleneck at high block counts),
+    # distributed groupby pre-reduce above it
+    win_tbl, hist_tbl = _reduce_winhist(
+        winhist_tbls, config, capture_hist=hist_fn is not None,
+        window=False)
+    winners = (_finish_winners(win_tbl.to_pandas(), config)
+               if win_tbl is not None else [])
     winner_map = {r["conv_id"]: r["sample_type"] for r in winners}
 
     routed, wtbl = build_routed_ex(
@@ -1196,33 +1315,15 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
             num_cpus=_heavy_scan_cpus())
         winhist_tbls = list(_ray.get(scan.to_arrow_refs()))
 
-    tbls = [t for t in (winhist_tbls or []) if t.num_rows > 0]
-    hist_tbl = None
     winners_by_window: dict[int, list[dict]] = {}
     winner_map_all: dict[str, str] = {}
     window_of_conv: dict[str, int] = {}
     all_winners: list[dict] = []
-    if tbls:
-        tbl = pa.concat_tables(tbls, promote_options="permissive")
-        kind = tbl.column("kind")
-        if capture_hist:
-            hist_tbl = tbl.filter(pc.equal(kind, "hist"))
-        win_cols = ["kind", "conv_id", "entity", "request", "qtype",
-                    "sample_type", "latency", "arrival_key", "bucket",
-                    "window"]
-        # Arrow pre-reduce of the (large) normal candidates before
-        # pandas: min arrival per (window, entity, request, bucket)
-        nc_tbl = tbl.filter(pc.equal(kind, "ncand"))
-        if nc_tbl.num_rows:
-            mins = nc_tbl.group_by(
-                ["window", "entity", "request", "bucket"]).aggregate(
-                [("arrival_key", "min")])
-            nc_tbl = nc_tbl.filter(pc.is_in(
-                nc_tbl.column("arrival_key"),
-                value_set=mins.column("arrival_key_min")))
-        it_tbl = tbl.filter(pc.equal(kind, "item"))
-        df = pa.concat_tables([it_tbl.select(win_cols),
-                               nc_tbl.select(win_cols)]).to_pandas()
+    win_tbl, hist_tbl = _reduce_winhist(
+        winhist_tbls or [], config, capture_hist=capture_hist,
+        window=True)
+    if win_tbl is not None:
+        df = win_tbl.to_pandas()
         for w, wdf in df.groupby("window", sort=True):
             winners = _finish_winners(wdf, config)
             winners_by_window[int(w)] = winners
