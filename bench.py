@@ -24,6 +24,64 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _ts_span_seconds(path: str) -> float:
+    """Event-time span of the transcripts from row-group statistics
+    (footer-only reads — no data)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    mn = mx = None
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        names = md.schema.to_arrow_schema().names
+        ci = names.index("ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if mn is None:
+        return 0.0
+    return (mx - mn).total_seconds()
+
+
+def run_windowed_once(sf_dir: str, num_cpus: int,
+                      n_windows: int = 10) -> dict:
+    """K4 incremental flush benchmark: same input, ~n_windows
+    event-time windows, per-(window, sink) partitioned writes."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from asserts_otel_processor_ray.config import default_config
+    from asserts_otel_processor_ray.pipelines.pipeline import (
+        run_pipeline_windowed)
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+
+    path = ensure_transcripts(sf_dir)
+    window_seconds = max(1.0, _ts_span_seconds(path) / n_windows)
+    out_dir = f"/tmp/bench_windowed_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)  # no lineage resume
+    cfg = default_config()
+    t0 = time.time()
+    res = run_pipeline_windowed(path, cfg, out_dir=out_dir,
+                                window_seconds=window_seconds)
+    routed_rows = res["routed"].count()
+    wall = time.time() - t0
+    return {
+        "windowed_sec": round(wall, 3),
+        "n_windows": len(res["winners_by_window"]),
+        "routed_rows": routed_rows,
+        "sink_stages": len(res["sink_paths"]),
+    }
+
+
 def run_once(sf_dir: str, num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
@@ -88,8 +146,7 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     n_trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
     trials = [one_trial() for _ in range(max(1, n_trials))]
     best = sorted(trials, key=lambda r: r["total"])[(len(trials) - 1) // 2]
-    ray.shutdown()
-    return {
+    out = {
         "sf_dir": sf_dir,
         "num_cpus": num_cpus,
         "n_turns": n_turns,
@@ -100,6 +157,13 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         "turns_per_sec": round(n_turns / best["total"], 1),
         "queries": {k: round(v, 3) for k, v in best["timings"].items()},
     }
+    # K4 windowed-flush cost on the same input (once per invocation;
+    # the W-window runner shares the single-flush scans, so the target
+    # is parity-ish — see BASELINE.md)
+    if os.environ.get("GRAFT_BENCH_WINDOWED", "1") != "0":
+        out["windowed"] = run_windowed_once(sf_dir, num_cpus)
+    ray.shutdown()
+    return out
 
 
 def main() -> None:
@@ -109,6 +173,17 @@ def main() -> None:
         if "--cpus" in args:
             cpus = int(args[args.index("--cpus") + 1])
         print(json.dumps(run_once(SF_DIR, cpus)))
+        return
+
+    if "--windowed" in args:
+        cpus = NUM_CPUS
+        if "--cpus" in args:
+            cpus = int(args[args.index("--cpus") + 1])
+        r = run_windowed_once(SF_DIR, cpus)
+        print(json.dumps({
+            "metric": "K4 windowed incremental flush wall time",
+            "value": r["windowed_sec"], "unit": "sec", "sf": SF_DIR,
+            "num_cpus": cpus, **r}))
         return
 
     if "--scaling" in args:
@@ -150,7 +225,9 @@ def main() -> None:
                     env={**os.environ, "GRAFT_SF_DIR": scaling_dir,
                          # one trial per pinned leg: the protocol's
                          # repetition unit is the interleaved batch
-                         "GRAFT_BENCH_TRIALS": "1"})
+                         "GRAFT_BENCH_TRIALS": "1",
+                         # scaling measures the headline flush only
+                         "GRAFT_BENCH_WINDOWED": "0"})
                 line = proc.stdout.strip().splitlines()[-1]
                 trials[cpus].append(json.loads(line))
 
@@ -196,6 +273,9 @@ def main() -> None:
         "routed_rows": r["routed_rows"],
         "trials_sec": r["trials_sec"],
     }
+    if "windowed" in r:
+        out["windowed"] = r["windowed"]
+        out["queries"]["windowed_flush"] = r["windowed"]["windowed_sec"]
     print(json.dumps(out, ensure_ascii=False))
 
 
