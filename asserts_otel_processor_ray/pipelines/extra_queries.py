@@ -78,8 +78,10 @@ def q_langid(sf_dir: str) -> pa.Table:
 
 
 def q_fingerprint(sf_dir: str) -> pa.Table:
-    part = _docs(sf_dir).map_batches(T.fingerprint_batch,
-                                     batch_format="pyarrow")
+    part = _docs(sf_dir).map_batches(T.FingerprintStage,
+                                     fn_constructor_args=(3,),
+                                     batch_format="pyarrow",
+                                     concurrency=(1, 8))
     return pa.Table.from_pandas(collect_df(part), preserve_index=False)
 
 

@@ -187,9 +187,13 @@ def shingle_sets(batch: pa.Table, w: int = 3) -> dict[int, frozenset]:
 def shingle_list_column(batch: pa.Table, w: int = 3) -> pa.ListArray:
     """Per-doc DEDUPED shingle-hash lists as an Arrow list column
     aligned with the batch rows (the distributed-verify payload)."""
-    n = batch.num_rows
     toks = _tokens_series(batch.column("text"))
     hashes, docs = shingle_hashes(toks, w)
+    return _shingle_list_from(hashes, docs, batch.num_rows)
+
+
+def _shingle_list_from(hashes: np.ndarray, docs: np.ndarray,
+                       n: int) -> pa.ListArray:
     h64 = hashes.astype(np.int64)
     order = np.lexsort((h64, docs))
     d, h = docs[order], h64[order]
@@ -204,19 +208,37 @@ def shingle_list_column(batch: pa.Table, w: int = 3) -> pa.ListArray:
 
 # ---- distributed MinHash-LSH pipeline ------------------------------------
 
-def minhash_band_expand_fn(k: int = 32, bands: int = 8, rows: int = 4,
-                           w: int = 3):
-    """map_batches fn: documents → (doc_id, band_id, band_hash,
+class MinHashBandExpand:
+    """Actor-pool stage: documents → (doc_id, band_id, band_hash,
     shingles) long table.  Only signatures + shingle-hash lists leave
     the batch — never the documents — so the groupby that follows
-    shuffles a payload ~bands × (8B × shingles) per doc."""
-    def fn(batch: pa.Table) -> pa.Table:
-        sig = minhash_signatures_batch(batch, k, w).to_pandas()
-        sh = shingle_list_column(batch, w)
-        banded = lsh_band_keys(sig, bands, rows)
+    shuffles a payload ~bands × (8B × shingles) per doc.
+
+    Actor state: the md5 token→hash vocabulary cache persists across
+    batches, and the shingle hashes are computed ONCE per batch for
+    both the signatures and the verify payload (the plain-fn version
+    hashed the batch twice)."""
+
+    def __init__(self, k: int = 32, bands: int = 8, rows: int = 4,
+                 w: int = 3):
+        self.k, self.bands, self.rows, self.w = k, bands, rows, w
+        self.a, self.b = _hash_params(k)
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        n = len(doc_id)
+        toks = _tokens_series(batch.column("text"))
+        hashes, docs = shingle_hashes(toks, self.w, self.cache)
+        sig = _perm_min_chunked(hashes, docs, self.a, self.b, self.k, n)
+        sig_df = pd.DataFrame({"doc_id": doc_id})
+        for i in range(self.k):
+            sig_df[f"mh{i:02d}"] = sig[i]
+        sh = _shingle_list_from(hashes, docs, n)
+        banded = lsh_band_keys(sig_df, self.bands, self.rows)
         # repeat each doc's shingle list once per band (positional take)
-        pos = np.tile(np.arange(len(sig), dtype=np.int64), bands)
-        out = pa.table({
+        pos = np.tile(np.arange(n, dtype=np.int64), self.bands)
+        return pa.table({
             "doc_id": pa.array(banded["doc_id"].to_numpy(), pa.int64()),
             "band_id": pa.array(banded["band_id"].to_numpy(), pa.int32()),
             "band_hash": pa.array(
@@ -224,8 +246,15 @@ def minhash_band_expand_fn(k: int = 32, bands: int = 8, rows: int = 4,
                 pa.int64()),
             "shingles": sh.take(pa.array(pos)),
         })
-        return out
-    return fn
+
+
+def minhash_band_expand_fn(k: int = 32, bands: int = 8, rows: int = 4,
+                           w: int = 3):
+    """Plain-fn form of MinHashBandExpand (kept for callers that want a
+    stateless task instead of an actor pool)."""
+    stage = MinHashBandExpand(k, bands, rows, w)
+    stage.cache = None  # no cross-batch state in task form
+    return stage.__call__
 
 
 _EMPTY_PAIRS = {"doc_a": pd.Series(dtype=np.int64),
@@ -294,8 +323,10 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
     Pass None to verify everything.  With ``return_stats`` the result is
     (pairs_df, {"skipped_buckets": n, "max_skipped_size": m}).
     """
-    banded = docs.map_batches(minhash_band_expand_fn(k, bands, rows, w),
-                              batch_format="pyarrow")
+    banded = docs.map_batches(MinHashBandExpand,
+                              fn_constructor_args=(k, bands, rows, w),
+                              batch_format="pyarrow",
+                              concurrency=(1, 8))
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         if max_bucket is not None and len(group) > max_bucket:

@@ -59,13 +59,16 @@ class RouteJoinStage:
 
     def __init__(self, decided_rows: pa.Table,
                  winner_map: dict[str, str]):
+        # one-time derivation of the stamped columns (pandas is fine
+        # here: the broadcast side is top-K-bounded by construction)
         df = decided_rows.to_pandas()
         df["sample_type"] = df["conv_id"].map(winner_map)
         is_normal = df["sample_type"] == "normal"
         df["asserts_sample_type"] = np.where(
             df["is_ncand_main"].to_numpy(dtype=bool) & is_normal,
             "normal", df["turn_sample_type"])
-        self.df = df.set_index(["conv_id", "turn_idx"])
+        df = df.drop(columns=["turn_sample_type", "is_ncand_main"])
+        self.tbl = pa.Table.from_pandas(df, preserve_index=False)
         self.winner_convs = pa.array(sorted(winner_map), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -75,11 +78,23 @@ class RouteJoinStage:
         if batch.num_rows == 0:
             return _empty_routed()
         src = batch.select(["conv_id", "turn_idx", "role", "text",
-                            "tool", "ts"]).to_pandas()
-        merged = src.join(self.df, on=["conv_id", "turn_idx"],
-                          how="inner")
-        out = pa.Table.from_pandas(merged[ROUTED_COLUMNS],
-                                   preserve_index=False)
+                            "tool", "ts"])
+        right = self.tbl
+        # Acero join requires exactly-matching key types
+        if (right.schema.field("turn_idx").type
+                != src.schema.field("turn_idx").type):
+            idx = right.schema.get_field_index("turn_idx")
+            right = right.set_column(
+                idx, "turn_idx",
+                right.column("turn_idx").cast(
+                    src.schema.field("turn_idx").type))
+        merged = src.join(right, keys=["conv_id", "turn_idx"],
+                          join_type="inner")
+        # hash joins return arbitrary row order; restore scan order so
+        # block contents stay deterministic across runs
+        merged = merged.sort_by([("conv_id", "ascending"),
+                                 ("turn_idx", "ascending")])
+        out = merged.select(ROUTED_COLUMNS)
         return out.cast(_routed_schema(out.schema))
 
 

@@ -273,3 +273,16 @@ def fingerprint_batch(batch: pa.Table, w: int = 3,
         "doc_id": pa.array(doc_id, pa.int64()),
         "fingerprint": pa.array(_hex16(fp), pa.string()),
     })
+
+
+class FingerprintStage:
+    """Actor-pool form of fingerprint_batch: the md5 token→hash
+    vocabulary cache persists across batches, so repeated tokens are
+    hashed once per actor, not once per batch."""
+
+    def __init__(self, w: int = 3):
+        self.w = w
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return fingerprint_batch(batch, self.w, self.cache)
