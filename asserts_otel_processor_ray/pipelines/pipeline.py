@@ -1293,6 +1293,9 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
         fp = fp + "-" + uuid.uuid4().hex[:8]
     cfg_hash = config.config_hash() + "-" + fp + f"-w{window_us}"
 
+    import time as _time
+    timings: dict[str, float] = {}
+    _t0 = _time.time()
     capture_hist = with_aggregates and config.capture_metrics
     b = build_decided_ex(source, config, num_partitions=num_partitions,
                          drop_intermediate=True,
@@ -1315,6 +1318,8 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
             num_cpus=_heavy_scan_cpus())
         winhist_tbls = list(_ray.get(scan.to_arrow_refs()))
 
+    timings["decide"] = _time.time() - _t0
+    _t0 = _time.time()
     winners_by_window: dict[int, list[dict]] = {}
     winner_map_all: dict[str, str] = {}
     window_of_conv: dict[str, int] = {}
@@ -1332,11 +1337,15 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
                 winner_map_all[r["conv_id"]] = r["sample_type"]
                 window_of_conv[r["conv_id"]] = int(w)
 
+    timings["merge"] = _time.time() - _t0
+    _t0 = _time.time()
     routed, wtbl = build_routed_ex(
         source, decided, winner_map_all,
         source_path=(input_path if isinstance(input_path, str) else None),
         num_blocks=n_read)
     routed = routed.materialize()
+    timings["route"] = _time.time() - _t0
+    _t0 = _time.time()
 
     os.makedirs(out_dir, exist_ok=True)
     lineage = Lineage(out_dir)
@@ -1407,9 +1416,10 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
             lineage.mark_complete(stage, cfg_hash, total)
             sink_paths[stage] = d
 
+    timings["write"] = _time.time() - _t0
     result = {"winners_by_window": winners_by_window,
               "sink_paths": sink_paths, "routed": routed,
-              "skipped": skipped}
+              "skipped": skipped, "timings": timings}
     if with_aggregates:
         counts_df = (b.counts_df if b.counts_df is not None
                      else pd.DataFrame())

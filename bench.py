@@ -79,6 +79,8 @@ def run_windowed_once(sf_dir: str, num_cpus: int,
         "n_windows": len(res["winners_by_window"]),
         "routed_rows": routed_rows,
         "sink_stages": len(res["sink_paths"]),
+        "phases": {k: round(v, 3)
+                   for k, v in res.get("timings", {}).items()},
     }
 
 
