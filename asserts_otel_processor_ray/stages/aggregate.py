@@ -36,10 +36,6 @@ from asserts_otel_processor_ray.functions.keys import apply_prom_conventions
 US = 1_000_000
 
 
-def _pad(arr: np.ndarray, width: int) -> np.ndarray:
-    return np.char.zfill(arr.astype(f"U{width}"), width)
-
-
 # ---------- generic partial+final count ----------------------------------
 
 def partial_count_fn(keys: list[str], consts: dict[str, str] | None = None,

@@ -76,10 +76,6 @@ DECIDE_ADDED = [
 ]
 
 
-def _pad20(arr: np.ndarray) -> np.ndarray:
-    return np.char.zfill(arr.astype("U20"), 20)
-
-
 def assemble_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     """Per-conversation assembly over a block of whole conversations."""
     if batch.num_rows == 0:

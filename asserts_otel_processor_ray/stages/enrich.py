@@ -205,15 +205,20 @@ class EnrichStage:
         rt = pc.take(rt_values, pc.index_in(kind, pa.array(kinds)))
         request_type = pc.if_else(eligible, rt, pa.scalar(None, pa.string()))
 
-        # distinct (ns, svc) pairs in this batch (small)
-        ns_np = batch.column("namespace").to_numpy(zero_copy_only=False)
-        svc_np = batch.column("service").to_numpy(zero_copy_only=False)
-        skey_np = np.where(ns_np != "",
-                           np.char.add(np.char.add(
-                               ns_np.astype("U64"), "#"),
-                               svc_np.astype("U64")),
-                           svc_np)
-        skey_arr = pa.array(skey_np, pa.string())
+        # distinct (ns, svc) pairs in this batch (small).  The packed
+        # service key is built with Arrow kernels — np.char.add is a
+        # per-element Python-level string op (~µs/row, was 37% of this
+        # stage's CPU)
+        ns_a = pc.fill_null(batch.column("namespace"), "")
+        svc_a = pc.fill_null(batch.column("service"), "")
+        skey_arr = pc.if_else(
+            pc.not_equal(ns_a, ""),
+            pc.binary_join_element_wise(ns_a, svc_a, "#"), svc_a)
+        if isinstance(skey_arr, pa.ChunkedArray):
+            skey_arr = skey_arr.combine_chunks()
+        ns_np = ns_a.to_numpy(zero_copy_only=False)
+        svc_np = svc_a.to_numpy(zero_copy_only=False)
+        skey_np = skey_arr.to_numpy(zero_copy_only=False)
         pairs = pd.DataFrame({"ns": ns_np, "svc": svc_np,
                               "skey": skey_np}).drop_duplicates("skey")
 

@@ -65,13 +65,18 @@ def window_dedup_partial(batch: pa.Table,
         return pa.table({"user_id": pa.array([], pa.int64()),
                          "bucket": pa.array([], pa.int64()),
                          "pick": pa.array([], pa.string())})
-    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    tsa = batch.column("ts").cast(pa.int64())
+    ts = tsa.to_numpy()
     user = batch.column("user_id").to_numpy()
-    eid = batch.column("event_id").to_numpy()
     bucket = ts // int(window_s * US)
-    pick = np.char.add(np.char.add(
-        np.char.zfill(ts.astype("U20"), 20), "|"),
-        np.char.zfill(eid.astype("U12"), 12))
+    # Arrow lpad/join — identical to zfill for non-negative ints,
+    # without np.char's per-element Python cost
+    import pyarrow.compute as pc
+    pick = pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.cast(tsa, pa.string()), 20, "0"),
+        pc.utf8_lpad(pc.cast(batch.column("event_id"), pa.string()),
+                     12, "0"),
+        "|").to_numpy(zero_copy_only=False)
     df = pd.DataFrame({"user_id": user, "bucket": bucket, "pick": pick})
     idx = df.groupby(["user_id", "bucket"], sort=False)["pick"].idxmin()
     out = df.loc[idx]
