@@ -928,6 +928,16 @@ def select_winners(decided: "ray.data.Dataset",
     return _finish_winners(df, config, return_normal)
 
 
+# The route scan's reader-side `conv_id IN winners` filter pays off by
+# keeping non-winner rows out of the object store and the join stage
+# (plus row-group pruning when the layout allows) — but its per-row
+# isin evaluation costs more than it saves once winners are a sizable
+# fraction of the input.  Measured at sf1/32cpu: 0.6% winner rows →
+# filter 2.4× faster; 5.8% (the windowed flush, every window electing
+# its own top-K) → filter 1.4× SLOWER.  Threshold between them:
+ROUTE_PUSHDOWN_MAX_SHARE = 0.02
+
+
 def build_routed_ex(source: "ray.data.Dataset",
                     decided: "ray.data.Dataset",
                     winner_map: dict[str, str], *,
@@ -938,19 +948,35 @@ def build_routed_ex(source: "ray.data.Dataset",
     merge the broadcast decided rows (bounded by the top-K caps).
     Returns (routed, winner-rows table).
 
-    With ``source_path`` the route scan re-reads the parquet with a
-    ``conv_id IN winners`` filter pushed into the read: pyarrow prunes
-    whole row groups whose conv_id min/max statistics exclude every
-    winner, so on a clustered-by-conversation layout the second pass
-    touches ~|winners|/|convs| of the file bytes instead of all of
-    them.  The in-stage ``is_in`` filter still runs afterwards —
-    row-group pruning is coarse, not exact."""
+    With ``source_path`` and a SPARSE winner set (winner rows ≤
+    ROUTE_PUSHDOWN_MAX_SHARE of the input, computed exactly from the
+    winner-rows table), the route scan re-reads the parquet with a
+    ``conv_id IN winners`` filter pushed into the read: non-winner
+    rows never enter the object store or the join stage, and row
+    groups whose conv_id statistics exclude every winner are pruned
+    outright.  Dense winner sets skip the filter — the reader-side
+    isin evaluation would cost more than it saves (the in-stage
+    ``is_in`` still filters exactly)."""
     import ray as _ray
 
     if not winner_map:
         return ray.data.from_arrow(
             __import__("asserts_otel_processor_ray.stages.route",
                        fromlist=["_empty_routed"])._empty_routed()), None
+    winner_convs = pa.array(sorted(winner_map), pa.string())
+    wtbls = [t for t in _ray.get(
+        decided.map_batches(
+            lambda t, wc=winner_convs: winner_rows_table(t, wc),
+            batch_format="pyarrow", batch_size=None).to_arrow_refs())
+        if t.num_rows > 0]
+    wtbl = pa.concat_tables(wtbls)
+    if source_path is not None:
+        try:
+            share = wtbl.num_rows / max(1, decided.count())
+        except Exception:
+            share = 1.0
+        if share > ROUTE_PUSHDOWN_MAX_SHARE:
+            source_path = None
     if source_path is not None:
         try:
             flt = pa.compute.field("conv_id").isin(sorted(winner_map))
@@ -971,13 +997,6 @@ def build_routed_ex(source: "ray.data.Dataset",
                 "route-scan filter pushdown disabled (%s: %s); "
                 "falling back to the unfiltered source scan",
                 type(ex).__name__, ex)
-    winner_convs = pa.array(sorted(winner_map), pa.string())
-    wtbls = [t for t in _ray.get(
-        decided.map_batches(
-            lambda t, wc=winner_convs: winner_rows_table(t, wc),
-            batch_format="pyarrow", batch_size=None).to_arrow_refs())
-        if t.num_rows > 0]
-    wtbl = pa.concat_tables(wtbls)
     stage = RouteJoinStage(wtbl, winner_map)
     return source.map_batches(stage, batch_format="pyarrow",
                               zero_copy_batch=True), wtbl
