@@ -109,17 +109,23 @@ def test_enrich_actor_pool_path(ray_session):
     assert ta.equals(tb)
 
 
-def test_route_filter_pushdown_matches_unfiltered(ray_session):
-    """A str input path activates the conv_id-IN-winners parquet filter
-    on the route scan (row-group pruning); a Dataset input keeps the
-    unfiltered scan.  Routed output must be identical either way."""
-    from asserts_otel_processor_ray.pipelines.pipeline import (
-        read_transcripts, run_pipeline)
+def test_route_filter_pushdown_matches_unfiltered(ray_session,
+                                                  monkeypatch):
+    """The conv_id-IN-winners reader filter is pushed adaptively (only
+    below ROUTE_PUSHDOWN_MAX_SHARE winner-row share); routed output
+    must be identical with the filter forced ON, forced OFF, and with
+    a Dataset input (never filterable)."""
+    import asserts_otel_processor_ray.pipelines.pipeline as P
     path = ensure_transcripts(SF_DIR)
     cfg = default_config()
-    a = run_pipeline(path, cfg).routed.to_pandas()
-    b = run_pipeline(read_transcripts(path), cfg).routed.to_pandas()
+    monkeypatch.setattr(P, "ROUTE_PUSHDOWN_MAX_SHARE", 1.0)
+    a = P.run_pipeline(path, cfg).routed.to_pandas()
+    monkeypatch.setattr(P, "ROUTE_PUSHDOWN_MAX_SHARE", -1.0)
+    b = P.run_pipeline(path, cfg).routed.to_pandas()
+    c = P.run_pipeline(P.read_transcripts(path), cfg).routed.to_pandas()
     key = ["conv_id", "turn_idx"]
     a = a.sort_values(key, ignore_index=True)
     b = b.sort_values(key, ignore_index=True)
+    c = c.sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
