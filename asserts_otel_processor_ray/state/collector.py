@@ -42,7 +42,9 @@ class BlockPartialCollector:
 
     def add(self, kind: str, key: tuple, payload) -> bool:
         import pickle
-        self._parts.setdefault(kind, {})[key] = pickle.dumps(payload)
+        if not isinstance(payload, bytes):
+            payload = pickle.dumps(payload)
+        self._parts.setdefault(kind, {})[key] = payload
         return True
 
     def clear_prefix(self, prefix: str) -> bool:
@@ -52,10 +54,17 @@ class BlockPartialCollector:
         return True
 
     def add_many(self, items: list[tuple]) -> bool:
-        """items = [(kind, key, payload), ...] — one round trip per block."""
+        """items = [(kind, key, payload), ...] — one round trip per
+        block.  Payloads arrive PRE-PICKLED from add_many_sharded (the
+        deep copy happens in the parallel map tasks), so this actor's
+        serialized critical section is a dict insert; un-pickled
+        payloads are still deep-copied here (zero-copy-view hazard,
+        class docstring)."""
         import pickle
         for kind, key, payload in items:
-            self._parts.setdefault(kind, {})[key] = pickle.dumps(payload)
+            if not isinstance(payload, bytes):
+                payload = pickle.dumps(payload)
+            self._parts.setdefault(kind, {})[key] = payload
         return True
 
     def tables(self, kind: str) -> list:
@@ -127,11 +136,17 @@ def get_collectors(n: int) -> list:
 def add_many_sharded(collectors: list, items: list[tuple]):
     """Route each (kind, key, payload) to its key's shard; one blocking
     round-trip per shard touched (callers ray.get the returned refs so
-    the task completes only after its partials land)."""
+    the task completes only after its partials land).
+
+    Payloads are pickled HERE, in the caller's (parallel) map task, so
+    the shard actor's serialized section is a pure dict insert — with
+    actor-side pickling the pushes queued behind each other and cost
+    ~25% of the decide-phase wall at sf1/32cpu."""
+    import pickle
     by_shard: dict[int, list] = {}
-    for it in items:
-        by_shard.setdefault(shard_of(it[1], len(collectors)),
-                            []).append(it)
+    for kind, key, payload in items:
+        by_shard.setdefault(shard_of(key, len(collectors)), []).append(
+            (kind, key, pickle.dumps(payload)))
     return [collectors[s].add_many.remote(batch)
             for s, batch in by_shard.items()]
 
