@@ -68,7 +68,13 @@ class RouteJoinStage:
             df["is_ncand_main"].to_numpy(dtype=bool) & is_normal,
             "normal", df["turn_sample_type"])
         df = df.drop(columns=["turn_sample_type", "is_ncand_main"])
+        df = df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         self.tbl = pa.Table.from_pandas(df, preserve_index=False)
+        # sorted conv ids of the broadcast side: each batch joins only
+        # the slice covering its own conv range (clustered batches span
+        # few convs, so the per-task hash-join build shrinks ~|tasks|×;
+        # an unclustered batch degrades to the full table — still exact)
+        self._conv_np = df["conv_id"].to_numpy()
         self.winner_convs = pa.array(sorted(winner_map), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -79,7 +85,11 @@ class RouteJoinStage:
             return _empty_routed()
         src = batch.select(["conv_id", "turn_idx", "role", "text",
                             "tool", "ts"])
-        right = self.tbl
+        mm = pc.min_max(src.column("conv_id")).values()
+        lo_c, hi_c = (v.as_py() for v in mm)
+        lo = int(np.searchsorted(self._conv_np, lo_c, "left"))
+        hi = int(np.searchsorted(self._conv_np, hi_c, "right"))
+        right = self.tbl.slice(lo, hi - lo)
         # Acero join requires exactly-matching key types
         if (right.schema.field("turn_idx").type
                 != src.schema.field("turn_idx").type):
