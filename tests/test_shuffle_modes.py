@@ -82,3 +82,18 @@ def test_unclustered_detected_and_guarded(ray_session, tmp_path):
     # run-time: forcing shuffle="none" on unclustered input raises
     with pytest.raises(Exception, match="conversation-clustered"):
         _decided_df(bad, "none")
+
+
+def test_routed_equal_on_unclustered_source(ray_session, tmp_path):
+    """Full run_pipeline on an unclustered copy must route the same
+    rows as on the clustered original — exercises shuffle='sort'
+    fallback AND the route join's conv-range slice degrading to wide
+    slices on unclustered batches (still exact)."""
+    from asserts_otel_processor_ray.pipelines.pipeline import run_pipeline
+    cfg = default_config()
+    a = run_pipeline(ensure_transcripts(SF_DIR), cfg).routed.to_pandas()
+    b = run_pipeline(_unclustered_copy(tmp_path), cfg).routed.to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, ignore_index=True)
+    b = b.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
