@@ -114,6 +114,33 @@ def read_transcripts(path: str,
                                  **kwargs)
 
 
+# On-disk parquet bytes per read block.  The block-count floor
+# (2×CPU, for pipelining) must not turn a huge input into huge
+# blocks: 100 TB at a fixed 64-block count would be 1.5 TB blocks.
+# ~256 MB of parquet ≈ 0.5-1 GB in-memory Arrow — comfortably inside
+# a worker heap at batch_size=None.
+TARGET_READ_BLOCK_BYTES = 256 * 1024 * 1024
+
+
+def default_read_blocks(input_path, ncpus: int) -> int:
+    """Block count for a read: at least 2×CPU (pipelining floor), and
+    at least enough that a block stays under TARGET_READ_BLOCK_BYTES
+    of on-disk parquet (memory ceiling — the scale constraint)."""
+    base = max(32, ncpus * 2)
+    if not isinstance(input_path, str):
+        return base
+    import glob as _glob
+    import math as _math
+    import os as _os
+    try:
+        files = ([input_path] if _os.path.isfile(input_path)
+                 else _glob.glob(_os.path.join(input_path, "*.parquet")))
+        total = sum(_os.path.getsize(f) for f in files)
+    except OSError:
+        return base
+    return max(base, _math.ceil(total / TARGET_READ_BLOCK_BYTES))
+
+
 def build_enriched(ds: "ray.data.Dataset", config: PipelineConfig, *,
                    enrich_concurrency=None) -> "ray.data.Dataset":
     # batch_size=None: one whole block per call — the arrow kernels
@@ -508,7 +535,9 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
 
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
-        num_partitions = max(32, ncpus * 2)
+        # size-aware when the source layout is known: 2×CPU pipelining
+        # floor, TARGET_READ_BLOCK_BYTES memory ceiling
+        num_partitions = default_read_blocks(source_path, ncpus)
     # default min_parallelism (200) fragments the sort into hundreds of
     # small blocks; every later scan then pays per-task overhead × blocks
     for attr in ("min_parallelism", "read_op_min_num_blocks"):
@@ -1083,7 +1112,7 @@ def run_pipeline(input_path: "str | ray.data.Dataset",
     import ray as _ray
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     n_read = num_partitions if num_partitions is not None \
-        else max(32, ncpus * 2)
+        else default_read_blocks(input_path, ncpus)
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
     # lineage key = config hash + input identity: a rerun with the same
@@ -1300,7 +1329,7 @@ def run_pipeline_windowed(input_path: "str | ray.data.Dataset",
     window_us = int(window_seconds * 1_000_000)
     ncpus = int(_ray.cluster_resources().get("CPU", 8))
     n_read = num_partitions if num_partitions is not None \
-        else max(32, ncpus * 2)
+        else default_read_blocks(input_path, ncpus)
     source = (read_transcripts(input_path, num_blocks=n_read)
               if isinstance(input_path, str) else input_path)
     fp = input_fingerprint(input_path)
