@@ -236,6 +236,23 @@ def q_ann_lsh(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """ANN top-k via a seeded-centroid IVF index (the second scale path
+    next to e_ann_lsh; approximate vs the EXACT top-k by construction —
+    recall pinned by tests/test_extra_ops.py — but deterministic given
+    the seeded centroids, so the generated SQL oracle reproduces it
+    exactly).  Production path swaps in kmeans_fit centroids."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pa.compute.less(tbl.column("vec_id"), 10)
+    qt = tbl.filter(qmask)
+    qids = qt.column("vec_id").to_numpy()
+    dim = len(qt.column("embedding")[0])
+    df = S.ann_topk_ivf(_emb(sf_dir), S._matrix(qt), qids, k=5, dim=dim,
+                        exclude_ids=frozenset(int(i) for i in qids))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 class _KnnLabelStage:
     def __init__(self, train_ref):
         import ray as _ray
@@ -360,6 +377,7 @@ EXTRA_QUERIES = {
     "d_simhash_pairs": q_simhash_pairs,
     "e_ann_topk": q_ann_topk,
     "e_ann_lsh": q_ann_lsh,
+    "e_ann_ivf": q_ann_ivf,
     "e_knn_label": q_knn_label,
     "e_embedding_near_dup": q_embedding_near_dup,
     "e_lsh_buckets": q_lsh_buckets,
@@ -497,6 +515,55 @@ q AS (SELECT * FROM sb WHERE vec_id < 10),
 t AS (SELECT * FROM sb WHERE vec_id >= 10),
 cand AS (SELECT DISTINCT q.vec_id AS qid, t.vec_id AS nid
          FROM q JOIN t ON q.band_id = t.band_id AND q.chunk = t.chunk),
+c AS (SELECT cand.qid, cand.nid,
+        list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM cand JOIN embeddings a ON cand.qid = a.vec_id
+                JOIN embeddings b ON cand.nid = b.vec_id)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rank FROM (
+  SELECT qid, nid,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM c)
+WHERE rn <= {k}"""
+
+
+def _ivf_centroid_literals(dim: int = _EMB_DIM, nlist: int = 16,
+                           seed: int = 1234) -> list[str]:
+    """The SeededCentroids of similarity.IVFIndex as DOUBLE[] literals
+    (normalized rows, same rng stream)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((nlist, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return ["[" + ", ".join(repr(float(v)) for v in row) + "]"
+            for row in c]
+
+
+def _ann_ivf_sql(dim: int = _EMB_DIM, nlist: int = 16, nprobe: int = 4,
+                 k: int = 5) -> str:
+    """SQL mirror of similarity.ann_topk_ivf: same seeded centroids as
+    literals; a vector's list = first max-cosine centroid
+    (list_position == numpy argmax first-max), a query probes its
+    nprobe best lists (cos desc, id asc — stable argsort mirror),
+    candidates = vectors in probed lists, exact cosine rank top-k."""
+    lits = _ivf_centroid_literals(dim, nlist)
+    cos_terms = ", ".join(
+        f"list_cosine_similarity(e, CAST({lits[i]} AS DOUBLE[]))"
+        for i in range(nlist))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+cs AS (SELECT vec_id, [{cos_terms}] AS cl FROM v),
+asn AS (SELECT vec_id,
+               list_position(cl, list_aggregate(cl, 'max')) - 1 AS list_id
+        FROM cs),
+qp AS (SELECT vec_id AS qid, i - 1 AS list_id,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cl[i] DESC, i) AS rn
+       FROM cs, generate_series(1, {nlist}) AS g(i)
+       WHERE vec_id < 10),
+probed AS (SELECT qid, list_id FROM qp WHERE rn <= {nprobe}),
+cand AS (SELECT probed.qid, a.vec_id AS nid
+         FROM probed JOIN asn a ON a.list_id = probed.list_id
+         WHERE a.vec_id >= 10),
 c AS (SELECT cand.qid, cand.nid,
         list_cosine_similarity(a.embedding, b.embedding) AS cos
       FROM cand JOIN embeddings a ON cand.qid = a.vec_id
@@ -718,6 +785,7 @@ WHERE rn <= 10""",
     "d_minhash_pairs": _minhash_pairs_sql(),
     "e_lsh_buckets": _lsh_buckets_sql(),
     "e_ann_lsh": _ann_lsh_sql(),
+    "e_ann_ivf": _ann_ivf_sql(),
     "m_media_features": """
 SELECT doc_id AS media_id, 'image' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -209,6 +209,162 @@ def ann_topk_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
     return df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+class IVFIndex:
+    """Inverted-file (IVF) index over the embedding column — the second
+    scale path next to hyperplane LSH.  ``nlist`` unit centroids are
+    drawn from a seeded Gaussian (data-independent, so the generated
+    DuckDB oracle embeds them as DOUBLE[] literals); every vector
+    belongs to its max-cosine list, and a query probes only its
+    ``nprobe`` nearest lists.  For a production deployment the seeded
+    centroids are replaced by ``kmeans_fit`` output — the assign/probe
+    machinery is identical either way."""
+
+    def __init__(self, dim: int, nlist: int = 16, seed: int = 1234,
+                 centroids: np.ndarray | None = None):
+        if centroids is not None:
+            self.centroids = _normalize(
+                np.asarray(centroids, dtype=np.float64))
+        else:
+            rng = np.random.default_rng(seed)
+            self.centroids = _normalize(rng.standard_normal((nlist, dim)))
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        """Nearest-centroid list id per (normalized) row; ties break to
+        the lowest centroid id (numpy argmax first-max == SQL
+        list_position first occurrence)."""
+        return (m @ self.centroids.T).argmax(axis=1)
+
+    def probe(self, qm: np.ndarray, nprobe: int) -> np.ndarray:
+        """(nq, nprobe) probed list ids: cosine desc, id asc tie-break
+        (stable argsort of the negated scores)."""
+        cos = qm @ self.centroids.T
+        return np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+
+
+def ann_topk_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
+                 query_ids, k: int, dim: int,
+                 exclude_ids: frozenset | None = None,
+                 nlist: int = 16, nprobe: int = 4,
+                 centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """ANN top-k via an IVF index: each batch assigns its vectors to
+    their nearest-centroid list and scores ONLY the vectors whose list
+    is among a query's ``nprobe`` probed lists — one masked float64
+    matmul for all queries at once, bounded per-batch top-k partials,
+    driver merge identical to the exact path.  Approximate: recall < 1
+    when a true neighbor lives in an unprobed list (the standard IVF
+    tradeoff; nprobe/nlist sets the scanned fraction)."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    ivf = IVFIndex(dim, nlist=nlist, centroids=centroids)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probed = ivf.probe(qm, nprobe)                  # (nq, nprobe)
+    exclude = exclude_ids or frozenset()
+    ref = ray.put({"qm": qm, "qids": qids, "probed": probed,
+                   "centroids": ivf.centroids})
+
+    class _Stage:
+        def __init__(self, ref):
+            d = ray.get(ref)
+            self.qm, self.qids, self.probed = (d["qm"], d["qids"],
+                                               d["probed"])
+            self.ivf = IVFIndex(dim, centroids=d["centroids"])
+            self.exclude = (np.sort(np.fromiter(exclude, np.int64,
+                                                len(exclude)))
+                            if exclude else None)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            keep = (~np.isin(ids, self.exclude)
+                    if self.exclude is not None
+                    else np.ones(len(ids), bool))
+            ids = ids[keep]
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "cos": pa.array([], pa.float64())})
+            if len(ids) == 0:
+                return empty
+            m = _normalize(_matrix(batch)[keep])
+            lists = self.ivf.assign(m)              # (nv,)
+            # (nq, nv) candidate mask: vector's list ∈ query's probed
+            # set — one broadcast compare, no per-query Python loop.
+            cand = (self.probed[:, :, None]
+                    == lists[None, None, :]).any(axis=1)
+            if not cand.any():
+                return empty
+            sims = self.qm @ m.T                    # (nq, nv) float64
+            sims[~cand] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            simv = np.take_along_axis(sims, idx, axis=1).ravel()
+            rowq = np.repeat(self.qids, kk)
+            flatn = ids[idx.ravel()]
+            ok = np.isfinite(simv)
+            if not ok.any():
+                return empty
+            return pa.table({
+                "query_id": pa.array(rowq[ok], pa.int64()),
+                "neighbor_id": pa.array(flatn[ok], pa.int64()),
+                "cos": pa.array(simv[ok], pa.float64()),
+            })
+
+    part = ds.map_batches(_Stage, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=(1, 8))
+    df = collect_df(part)
+    if df.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+    df = df[df["rank"] <= k]
+    return df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def kmeans_fit(ds: "ray.data.Dataset", k: int, dim: int,
+               iters: int = 5, seed: int = 1234) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the embedding
+    column — the production centroid-training path for ``IVFIndex``.
+    Each iteration is ONE streaming pass: ``map_batches`` emits
+    per-batch (cluster, count, sum-vector) partials (≤ k rows × dim
+    floats per batch — never vectors), the driver reduces the tiny
+    k×blocks partial table and renormalizes.  Empty clusters keep their
+    previous centroid.  Deterministic given the seed up to float
+    summation order (partials reduce in block order).  Iterative, so no
+    SQL oracle — pinned by a numpy-reference equivalence test instead
+    (tests/test_extra_ops.py)."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    rng = np.random.default_rng(seed)
+    cent = _normalize(rng.standard_normal((k, dim)))
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _normalize(_matrix(batch))
+            asn = (m @ c.T).argmax(axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, asn, m)
+            counts = np.bincount(asn, minlength=k).astype(np.int64)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int32), pa.int32()),
+                "n": pa.array(counts[nz], pa.int64()),
+                "vecsum": pa.array(list(sums[nz]),
+                                   pa.list_(pa.float64())),
+            })
+
+        part = collect_df(ds.map_batches(partial, batch_format="pyarrow"))
+        new = cent.copy()
+        if not part.empty:
+            for cl, grp in part.groupby("cluster", sort=True):
+                s = np.sum(np.stack([np.asarray(v, dtype=np.float64)
+                                     for v in grp["vecsum"]]), axis=0)
+                norm = np.linalg.norm(s)
+                if norm > 0:
+                    new[int(cl)] = s / norm
+        cent = new
+    return cent
+
+
 class BruteForcePairs:
     """map_batches stage for exact near-dup pairs: each batch's vectors
     against the broadcast full matrix (baseline path; the LSH-bucketed

@@ -127,7 +127,7 @@ def ducks():
 CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_token_jaccard", "d_fingerprint", "d_simhash",
            "d_simhash_pairs", "d_minhash_pairs", "e_ann_topk",
-           "e_ann_lsh", "e_lsh_buckets", "e_knn_label",
+           "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "m_media_features"]
 
@@ -156,6 +156,67 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     hits = sum(len(e[q] & a.get(q, set())) for q in e.index)
     total = sum(len(v) for v in e.values)
     assert hits / total >= 0.8
+
+
+def test_ann_ivf_kmeans_recall_vs_exact(ray_session):
+    """The production IVF path — kmeans_fit-trained centroids, probing
+    4 of 16 lists (25% scan) — must recover most of the exact top-5
+    neighbor sets (recall pinned ≥ 0.6; trained centroids match the
+    seeded ones at HALF the scan fraction on this data)."""
+    import pyarrow.parquet as pq
+    import asserts_otel_processor_ray.stages.similarity as S
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _emb, q_ann_topk)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = tbl.filter(pa.compute.less(tbl.column("vec_id"), 10))
+    qids = qt.column("vec_id").to_numpy()
+    dim = len(qt.column("embedding")[0])
+    cent = S.kmeans_fit(_emb(SF), k=16, dim=dim, iters=5)
+    approx = S.ann_topk_ivf(
+        _emb(SF), S._matrix(qt), qids, k=5, dim=dim,
+        exclude_ids=frozenset(int(i) for i in qids),
+        nprobe=4, centroids=cent)
+    exact = q_ann_topk(SF).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(e[q] & a.get(q, set())) for q in e.index)
+    total = sum(len(v) for v in e.values)
+    assert hits / total >= 0.6
+
+
+def test_kmeans_fit_matches_local_lloyds(ray_session):
+    """Distributed kmeans_fit (per-batch partial sums → driver reduce)
+    must match a single-matrix numpy Lloyd's byte-for-byte in
+    assignments and to float tolerance in centroids, regardless of how
+    Ray splits the blocks."""
+    import ray
+    import asserts_otel_processor_ray.stages.similarity as S
+    rng = np.random.default_rng(42)
+    k, dim, n, iters = 4, 8, 300, 5
+    blobs = S._normalize(rng.standard_normal((k, dim)))
+    m = np.repeat(blobs, n // k, axis=0) + 0.25 * rng.standard_normal(
+        (n, dim))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    })).repartition(7)
+    got = S.kmeans_fit(ds, k=k, dim=dim, iters=iters, seed=1234)
+
+    cent = S._normalize(np.random.default_rng(1234)
+                        .standard_normal((k, dim)))
+    mn = S._normalize(m)
+    for _ in range(iters):
+        asn = (mn @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            s = mn[asn == c].sum(axis=0)
+            norm = np.linalg.norm(s)
+            if norm > 0:
+                new[c] = s / norm
+        cent = new
+    np.testing.assert_allclose(got, cent, atol=1e-9)
+    assert ((mn @ got.T).argmax(axis=1) == (mn @ cent.T).argmax(axis=1)).all()
 
 
 def test_verify_bucket_vectorized_matches_bruteforce():
