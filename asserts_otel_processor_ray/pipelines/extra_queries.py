@@ -157,7 +157,74 @@ def q_token_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _doc_freq_top_block(df: pd.DataFrame, n: int = 200) -> pd.DataFrame:
+    """Per-block top-n partial over globally-unique token rows (exact
+    two-phase: after the distributed groupby each token lives in one
+    block, so the global top-n is the top-n of per-block top-ns)."""
+    df = df.sort_values(["doc_freq", "token"], ascending=[False, True],
+                        kind="mergesort")
+    return df.head(n)
+
+
+def q_doc_freq(sf_dir: str) -> pa.Table:
+    """Vocabulary document-frequency top-200: per-batch distinct
+    (doc, token) partial → DISTRIBUTED groupby(token).sum → two-phase
+    top-200 (the driver never holds the O(vocabulary) df table)."""
+    from ray.data.aggregate import Sum
+    part = _docs(sf_dir).map_batches(T.doc_freq_partial,
+                                     batch_format="pyarrow")
+    agg = part.groupby("token").aggregate(Sum("partial_df"))
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["token", "doc_freq"]),
+        batch_format="pyarrow")
+    topped = agg.map_batches(_doc_freq_top_block, batch_format="pandas")
+    out = _doc_freq_top_block(collect_df(topped)).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["doc_freq"] = out["doc_freq"].astype(np.int64)
+    return pa.Table.from_pandas(out[["token", "doc_freq", "rank"]],
+                                preserve_index=False)
+
+
+def q_sample_hash(sf_dir: str) -> pa.Table:
+    """Deterministic ~1/8 hash sample of events — a pure vectorized
+    per-batch filter (sampling at 100 TB must not shuffle or hold
+    state; reproducible at any parallelism)."""
+    part = _events(sf_dir).map_batches(E.sample_hash_batch,
+                                       batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-event_type discrete quantiles of `value` via the
+    value-count-histogram reduction: per-batch count partials → ONE
+    distributed groupby-sum (|distinct values| rows) → tiny per-group
+    final.  No global sort, no full-column materialization."""
+    from ray.data.aggregate import Sum
+    part = _events(sf_dir).map_batches(E.value_count_partial,
+                                       batch_format="pyarrow")
+    agg = part.groupby(["event_type", "value"]).aggregate(
+        Sum("partial_n"))
+    agg = agg.map_batches(
+        lambda t: (t.rename_columns(["event_type", "value", "n"])
+                   if t.num_columns == 3 else t),
+        batch_format="pyarrow")
+    out = agg.groupby("event_type").map_groups(E.quantiles_from_counts,
+                                               batch_format="pandas")
+    df = collect_df(out).sort_values("event_type").reset_index(drop=True)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ---- near-dup (signature/hash operators) ---------------------------------
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """Char-5-gram Jaccard near-dup pairs over the FULL corpus via the
+    distributed inverted-index shuffle (hash repartition by gram,
+    block-local posting lists, groupby-sum pair counts); hot grams are
+    df-capped and logged, mirrored exactly by the SQL oracle."""
+    pairs = D.ngram_jaccard_distributed(_docs(sf_dir))
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs via the distributed
@@ -372,6 +439,8 @@ EXTRA_QUERIES = {
     "d_langid": q_langid,
     "d_fingerprint": q_fingerprint,
     "d_token_jaccard": q_token_jaccard,
+    "d_ngram_jaccard": q_ngram_jaccard,
+    "d_doc_freq": q_doc_freq,
     "d_minhash_pairs": q_minhash_pairs,
     "d_simhash": q_simhash,
     "d_simhash_pairs": q_simhash_pairs,
@@ -384,6 +453,8 @@ EXTRA_QUERIES = {
     "g_sessionize": q_sessionize,
     "g_window_dedup": q_window_dedup,
     "g_topk_users": q_topk_users,
+    "g_sample_hash": q_sample_hash,
+    "g_quantiles": q_quantiles,
     "m_media_features": q_media_features,
 }
 
@@ -573,6 +644,78 @@ SELECT qid AS query_id, nid AS neighbor_id, rn AS rank FROM (
     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
   FROM c)
 WHERE rn <= {k}"""
+
+
+def _ngram_jaccard_sql(w: int = D.NGRAM_W,
+                       threshold: float = D.NGRAM_THRESHOLD,
+                       max_df: int = D.NGRAM_MAX_DF) -> str:
+    """SQL mirror of dedup.ngram_jaccard_distributed: codepoint rolling
+    polynomial over char w-grams of trim(lower(text)), distinct per
+    doc, df-capped inverted-index pair counts, jaccard with FULL
+    distinct-gram union sizes."""
+    p = 2305843009213693951
+    win = "c[i]"
+    for j in range(1, w):
+        win = f"(({win}) * 1000003 + c[i+{j}]) % {p}"
+    return f"""
+WITH s AS (
+  SELECT doc_id, trim(lower(text)) AS st FROM documents
+  WHERE len(trim(lower(text))) >= 1),
+cp AS (
+  SELECT doc_id,
+    [CAST(unicode(st[i]) AS HUGEINT)
+     FOR i IN generate_series(1, len(st))] AS c
+  FROM s),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(c) < {w}
+      THEN [list_reduce(c, (a, b) -> (a * 1000003 + b) % {p})]
+      ELSE [{win} FOR i IN generate_series(1, len(c) - {w - 1})]
+    END AS gr
+  FROM cp),
+gd AS (SELECT doc_id, list_distinct(gr) AS gs FROM g),
+lng AS (SELECT doc_id, len(gs) AS sz, unnest(gs) AS h FROM gd),
+dfc AS (SELECT h, count(*) AS n FROM lng GROUP BY h),
+ok AS (SELECT lng.* FROM lng JOIN dfc USING (h)
+       WHERE n >= 2 AND n <= {max_df}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sa, b.sz AS sb, count(*) AS inter
+  FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+FROM p
+WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
+      >= {threshold}"""
+
+
+def _quantiles_sql() -> str:
+    """SQL mirror of events.quantiles_from_counts: discrete quantile =
+    value at 1-based rank ceil(p·n/100) (integer arithmetic) among the
+    per-type sorted values."""
+    from asserts_otel_processor_ray.stages.events import QUANTILE_PCTS
+    cols = ",\n  ".join(
+        f"max(CASE WHEN rn = ({p} * n + 99) // 100 THEN value END) "
+        f"AS p{p}" for p in QUANTILE_PCTS)
+    return f"""
+WITH r AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, max(n) AS n_events,
+  {cols}
+FROM r GROUP BY event_type"""
+
+
+def _sample_hash_sql() -> str:
+    from asserts_otel_processor_ray.stages.events import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_MOD)
+    return f"""
+SELECT * FROM events
+WHERE ((CAST(event_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B})
+       % 2305843009213693951) % {SAMPLE_MOD} = 0"""
 
 
 def _langid_sql() -> str:
@@ -783,6 +926,20 @@ SELECT event_type, user_id, n_events, rn AS rank FROM (
   FROM c)
 WHERE rn <= 10""",
     "d_minhash_pairs": _minhash_pairs_sql(),
+    "d_ngram_jaccard": _ngram_jaccard_sql(),
+    "d_doc_freq": """
+WITH lng AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents)),
+c AS (SELECT token, count(*) AS doc_freq FROM lng GROUP BY token)
+SELECT token, doc_freq, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY doc_freq DESC, token) AS rank
+  FROM c)
+WHERE rank <= 200""",
+    "g_sample_hash": _sample_hash_sql(),
+    "g_quantiles": _quantiles_sql(),
     "e_lsh_buckets": _lsh_buckets_sql(),
     "e_ann_lsh": _ann_lsh_sql(),
     "e_ann_ivf": _ann_ivf_sql(),

@@ -22,6 +22,7 @@ import pyarrow as pa
 from asserts_otel_processor_ray.stages.text_analysis import (
     _hex16,
     _tokens_series,
+    char_ngram_hashes,
     shingle_hashes,
     token_hashes,
 )
@@ -361,6 +362,192 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
     if return_stats:
         return df, stats
     return df
+
+
+# ---- char-n-gram Jaccard (inverted-index exact near-dup) ------------------
+
+NGRAM_W = 5
+NGRAM_THRESHOLD = 0.4
+NGRAM_MAX_DF = 128
+
+
+def ngram_long_batch(batch: pa.Table, w: int = NGRAM_W) -> pa.Table:
+    """documents → (doc_id, h, sz) long table: DISTINCT char w-gram
+    hashes per doc plus the doc's distinct-gram count.  The size rides
+    along with every gram row so the downstream pair aggregation never
+    joins against a per-doc size table (no O(docs) broadcast/join at
+    scale)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    hashes, docs = char_ngram_hashes(batch.column("text"), w)
+    if len(hashes) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.int64()),
+                         "sz": pa.array([], pa.int64())})
+    h64 = hashes.view(np.int64)
+    order = np.lexsort((h64, docs))
+    d, h = docs[order], h64[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    d, h = d[keep], h[keep]
+    counts = np.bincount(d, minlength=batch.num_rows)
+    return pa.table({
+        "doc_id": pa.array(doc_id[d], pa.int64()),
+        "h": pa.array(h, pa.int64()),
+        "sz": pa.array(counts[d], pa.int64()),
+    })
+
+
+_EMPTY_NGRAM_PARTIAL = {
+    "doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
+    "sa": pd.Series(dtype=np.int64), "sb": pd.Series(dtype=np.int64),
+    "inter": pd.Series(dtype=np.int64)}
+
+
+def ngram_pairs_block(df: pd.DataFrame,
+                      max_df: int = NGRAM_MAX_DF) -> pd.DataFrame:
+    """Per-block pair partials over a block HASH-PARTITIONED by gram
+    hash ``h`` (every posting list is block-local): df-cap the hot
+    grams, self-merge on h, count gram co-occurrences per doc pair.
+
+    Grams with df > max_df are skipped (boilerplate n-grams would emit
+    O(df²) pairs); skipped grams surface as a (-1, -1) marker row so
+    the driver can count and log them — never silent."""
+    empty = pd.DataFrame(_EMPTY_NGRAM_PARTIAL)
+    if df.empty:
+        return empty
+    cnt = df["h"].value_counts()
+    hot = cnt[cnt > max_df]
+    ok_h = cnt[(cnt >= 2) & (cnt <= max_df)].index
+    blk = df[df["h"].isin(ok_h)]
+    out = []
+    if not blk.empty:
+        m = blk.merge(blk, on="h")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not m.empty:
+            g = (m.groupby(["doc_id_x", "doc_id_y", "sz_x", "sz_y"],
+                           sort=False).size().reset_index(name="inter"))
+            g.columns = ["doc_a", "doc_b", "sa", "sb", "inter"]
+            out.append(g)
+    if len(hot):
+        out.append(pd.DataFrame({
+            "doc_a": [np.int64(-1)], "doc_b": [np.int64(-1)],
+            "sa": [np.int64(0)], "sb": [np.int64(hot.max())],
+            "inter": [np.int64(len(hot))]}))
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True)
+
+
+_PK_BASE = np.int64(1 << 31)   # doc ids < 2^31 → pair packs into int64
+
+
+def _ngram_pack_pk(t: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) → one packed int64 pair key (markers stay
+    negative), so the pair reduce shuffles on a single integer key."""
+    da = t.column("doc_a").to_numpy()
+    db = t.column("doc_b").to_numpy()
+    return pa.table({
+        "pk": pa.array(da * _PK_BASE + db, pa.int64()),
+        "sa": t.column("sa"), "sb": t.column("sb"),
+        "inter": t.column("inter"),
+    })
+
+
+def _ngram_reduce_block(df: pd.DataFrame,
+                        threshold: float) -> pd.DataFrame:
+    """Per-block (hash-partitioned by pk) final: sum each pair's gram
+    co-occurrences, compute jaccard against the riding union sizes,
+    keep near-dups; marker rows (pk < 0) fold into one skipped-gram
+    count row."""
+    empty = pd.DataFrame({
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "jaccard": pd.Series(dtype=float),
+        "skipped_grams": pd.Series(dtype=np.int64)})
+    if df.empty:
+        return empty
+    marker = df["pk"] < 0
+    n_skipped = int(df.loc[marker, "inter"].sum())
+    df = df[~marker]
+    out = []
+    if not df.empty:
+        g = (df.groupby("pk", sort=False)
+             .agg(sa=("sa", "min"), sb=("sb", "min"),
+                  inter=("inter", "sum")).reset_index())
+        inter = g["inter"].to_numpy().astype(np.int64)
+        union = (g["sa"].to_numpy() + g["sb"].to_numpy()
+                 - inter).astype(np.float64)
+        jac = inter / union
+        keep = jac >= threshold
+        if keep.any():
+            pk = g["pk"].to_numpy()[keep]
+            out.append(pd.DataFrame({
+                "doc_a": pk // _PK_BASE, "doc_b": pk % _PK_BASE,
+                "jaccard": jac[keep],
+                "skipped_grams": np.zeros(int(keep.sum()), np.int64)}))
+    if n_skipped:
+        out.append(pd.DataFrame({
+            "doc_a": [np.int64(-1)], "doc_b": [np.int64(-1)],
+            "jaccard": [0.0], "skipped_grams": [np.int64(n_skipped)]}))
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True)
+
+
+def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
+                              threshold: float = NGRAM_THRESHOLD,
+                              max_df: int = NGRAM_MAX_DF,
+                              num_partitions: int = 16) -> pd.DataFrame:
+    """Exact char-n-gram Jaccard near-dup pairs via the inverted-index
+    shuffle: batch → distinct (doc, gram, size) long rows → hash
+    repartition by gram → per-block pair partials (posting lists are
+    block-local) → hash repartition by packed pair key → per-block
+    sum + jaccard + threshold filter.  Documents never move — only
+    24-byte gram rows and bounded pair partials do, and only near-dup
+    pairs reach the driver.
+
+    (Two hash repartitions + block-local pandas reduces instead of a
+    groupby().aggregate(): measured 6 s vs 41 s packed-key / 309 s
+    4-key aggregate at sf0.001 — the aggregator state machine
+    dominates on millions of tiny groups.)
+
+    With the df cap, jaccard is computed over non-hot grams in the
+    intersection but FULL distinct-gram counts in the union (a
+    deterministic lower bound; exact when no gram exceeds the cap —
+    the SQL oracle applies the identical rule)."""
+    from ray.data.context import ShuffleStrategy
+
+    from asserts_otel_processor_ray.stages.topk import collect_df
+
+    long = docs.map_batches(lambda t: ngram_long_batch(t, w),
+                            batch_format="pyarrow")
+    long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    long.context.max_hash_shuffle_aggregators = 8
+    parted = long.repartition(num_blocks=num_partitions, keys=["h"])
+    partials = parted.map_batches(
+        lambda d: ngram_pairs_block(d, max_df),
+        batch_format="pandas", batch_size=None)
+    packed = partials.map_batches(_ngram_pack_pk, batch_format="pyarrow")
+    by_pair = packed.repartition(num_blocks=max(8, num_partitions // 2),
+                                 keys=["pk"])
+    reduced = by_pair.map_batches(
+        lambda d: _ngram_reduce_block(d, threshold),
+        batch_format="pandas", batch_size=None)
+
+    df = collect_df(reduced)
+    if not df.empty:
+        skip = df["doc_a"] < 0
+        n_skipped = int(df.loc[skip, "skipped_grams"].sum())
+        if n_skipped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "ngram jaccard: skipped %d hot gram(s) over max_df=%d",
+                n_skipped, max_df)
+        df = df[~skip]
+    df = df.drop(columns=["skipped_grams"], errors="ignore")
+    if df.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return (df.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
 
 
 # ---- SimHash -------------------------------------------------------------

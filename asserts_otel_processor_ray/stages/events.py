@@ -92,3 +92,65 @@ def count_topk_partial(batch: pa.Table) -> pa.Table:
     gb = batch.select(["event_type", "user_id"]).group_by(
         ["event_type", "user_id"]).aggregate([([], "count_all")])
     return gb.rename_columns(["event_type", "user_id", "partial_count"])
+
+
+# ---- deterministic hash sampling ------------------------------------------
+#
+# Sampling at 100 TB must be a pure per-batch filter (zero shuffle,
+# zero state): keep a row iff an affine hash of its id mod 2^61-1
+# lands in the accept window.  Deterministic, reproducible across
+# parallelism levels, and exactly expressible in SQL.
+
+SAMPLE_A = 912_382_843_902_107_441   # < 2^61-1, odd
+SAMPLE_B = 558_545_864_083_284_007
+SAMPLE_MOD = 8                       # keep ≈ 1/8 of rows
+
+
+def sample_hash_batch(batch: pa.Table,
+                      mod: int = SAMPLE_MOD) -> pa.Table:
+    """Keep rows where ((event_id·A + B) mod 2^61-1) mod ``mod`` == 0 —
+    a deterministic ~1/mod sample, vectorized uint64 end-to-end."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        _MOD, _addmod61, _mulmod61)
+    eid = batch.column("event_id").to_numpy()
+    em = (eid % np.int64(_MOD)).astype(np.uint64)
+    h = _addmod61(_mulmod61(em, SAMPLE_A), SAMPLE_B)
+    keep = (h % np.uint64(mod)) == 0
+    return batch.filter(pa.array(keep))
+
+
+# ---- exact distributed quantiles ------------------------------------------
+#
+# Exact per-group quantiles without a global sort: per-batch
+# (group, value) count partials → ONE distributed groupby-sum (the
+# value-count histogram — |distinct values| rows, not |rows|) → a tiny
+# per-group final that walks the sorted histogram.  Discrete quantiles
+# (an actual data element at rank ceil(p·n/100), integer arithmetic)
+# so the SQL oracle is bit-exact with no interpolation-float risk.
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def value_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: row count per (event_type, value)."""
+    gb = batch.select(["event_type", "value"]).group_by(
+        ["event_type", "value"]).aggregate([([], "count_all")])
+    return gb.rename_columns(["event_type", "value", "partial_n"])
+
+
+def quantiles_from_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: one event_type's (value, n) histogram rows →
+    a single row of discrete quantiles.  rank_p = ceil(p·n/100) via
+    integer arithmetic; the quantile is the first value whose
+    cumulative count reaches the rank."""
+    d = df.sort_values("value")
+    vals = d["value"].to_numpy()
+    cum = np.cumsum(d["n"].to_numpy().astype(np.int64))
+    n = int(cum[-1])
+    out = {"event_type": [df["event_type"].iloc[0]],
+           "n_events": [np.int64(n)]}
+    for p in QUANTILE_PCTS:
+        rank = (p * n + 99) // 100
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out[f"p{p}"] = [float(vals[idx])]
+    return pd.DataFrame(out)

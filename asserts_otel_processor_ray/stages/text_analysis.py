@@ -216,18 +216,15 @@ def token_hashes(ex: pd.Series, cache: dict | None = None) -> np.ndarray:
     return uh[codes]
 
 
-def shingle_hashes(toks: pd.Series, w: int = 3,
-                   cache: dict | None = None
-                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Rolling polynomial hash over w-token shingles, native uint64
-    mod-(2^61-1) arithmetic end-to-end.
+def _rolling_poly(h: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
+                  w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed polynomial hash (base _BASE, mod 2^61-1) over per-doc
+    value runs, native uint64 end-to-end.  ``h`` is the concatenation
+    of every doc's value run, ``doc_of`` its doc index per element and
+    ``lens`` the per-doc run lengths.  Docs shorter than ``w`` (but
+    non-empty) contribute their single whole-run hash.
 
-    Returns (hashes, doc_index) for all shingles of all docs (docs
-    shorter than w contribute their single whole-doc hash).
-    """
-    ex = toks.explode()
-    doc_of = ex.index.to_numpy()
-    h = token_hashes(ex, cache)
+    Returns (hashes, doc_index)."""
     n = len(h)
     if n == 0:
         return np.array([], np.uint64), np.array([], np.int64)
@@ -240,10 +237,9 @@ def shingle_hashes(toks: pd.Series, w: int = 3,
     ok = win_doc == doc_of[w - 1:]          # window within one doc
     hashes = acc[ok]
     docs = win_doc[ok]
-    # short docs (< w tokens): whole-doc hash — same rolling polynomial,
+    # short docs (< w values): whole-run hash — same rolling polynomial,
     # vectorized per length class (≤ w-1 classes, no per-doc loop)
-    lens = toks.str.len().to_numpy()
-    short = lens < w
+    short = (lens > 0) & (lens < w)
     if short.any():
         offsets = np.r_[0, np.cumsum(lens)]
         extra_h, extra_d = [], []
@@ -258,6 +254,62 @@ def shingle_hashes(toks: pd.Series, w: int = 3,
         hashes = np.r_[hashes, np.concatenate(extra_h)]
         docs = np.r_[docs, np.concatenate(extra_d)]
     return hashes.astype(np.uint64), docs.astype(np.int64)
+
+
+def shingle_hashes(toks: pd.Series, w: int = 3,
+                   cache: dict | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial hash over w-token shingles, native uint64
+    mod-(2^61-1) arithmetic end-to-end.
+
+    Returns (hashes, doc_index) for all shingles of all docs (docs
+    shorter than w contribute their single whole-doc hash).
+    """
+    ex = toks.explode()
+    doc_of = ex.index.to_numpy()
+    h = token_hashes(ex, cache)
+    lens = toks.str.len().to_numpy().astype(np.int64)
+    return _rolling_poly(h, doc_of, lens, w)
+
+
+def char_ngram_hashes(text: pa.ChunkedArray | pa.Array, w: int = 5
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial hash over w-character grams of
+    trim(lower(text)) — the char-n-gram analog of shingle_hashes.
+
+    Fully vectorized: the batch's normalized strings are joined once
+    and viewed as a uint32 codepoint array (utf-32), so gram hashing is
+    the same native uint64 mod-(2^61-1) window kernel with zero per-row
+    Python.  Docs shorter than ``w`` chars contribute their whole-string
+    hash; empty docs contribute nothing.
+
+    Returns (hashes, doc_index)."""
+    norm = pc.utf8_trim_whitespace(pc.utf8_lower(text))
+    norm = pc.fill_null(norm, "")
+    lens = pc.utf8_length(norm).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    joined = "".join(norm.to_pylist())
+    cp = np.frombuffer(joined.encode("utf-32-le"),
+                       dtype="<u4").astype(np.uint64)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return _rolling_poly(cp, doc_of, lens, w)
+
+
+def doc_freq_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partial: for every token, the
+    number of batch docs containing it (distinct per doc).  The
+    distributed groupby(token).sum final yields the corpus vocabulary
+    df table — the classic training-data vocab build."""
+    toks = _tokens_series(batch.column("text"))
+    ex = toks.explode()
+    df = pd.DataFrame({"doc": ex.index.to_numpy(),
+                       "token": ex.to_numpy()}).drop_duplicates()
+    c = df.groupby("token", sort=False).size().reset_index(
+        name="partial_df")
+    return pa.table({
+        "token": pa.array(c["token"].to_numpy(), pa.string()),
+        "partial_df": pa.array(c["partial_df"].to_numpy(), pa.int64()),
+    })
 
 
 def fingerprint_batch(batch: pa.Table, w: int = 3,

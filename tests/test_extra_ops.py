@@ -99,6 +99,80 @@ def test_media_stub_deterministic():
     assert len(feat) == 8 and all(0 <= f <= 1 for f in feat)
 
 
+def test_char_ngram_hashes_match_bruteforce():
+    """char_ngram_hashes == per-gram polynomial over codepoints (the
+    definition the SQL oracle implements)."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        _BASE, _MOD, char_ngram_hashes)
+    texts = ["  Hello World  ", "abc", "", "a", "naïve café naïve"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    hashes, docs = char_ngram_hashes(t.column("text"), w=5)
+    got = {}
+    for h, d in zip(hashes.tolist(), docs.tolist()):
+        got.setdefault(d, []).append(h)
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * _BASE + ord(ch)) % _MOD
+        return acc
+
+    for d, raw in enumerate(texts):
+        s = raw.strip().lower()
+        if not s:
+            assert d not in got
+            continue
+        if len(s) < 5:
+            expect = [poly(s)]
+        else:
+            expect = [poly(s[i:i + 5]) for i in range(len(s) - 4)]
+        assert sorted(got[d]) == sorted(expect), d
+
+
+def test_ngram_pairs_block_counts_cooccurrence():
+    from asserts_otel_processor_ray.stages.dedup import (
+        ngram_long_batch, ngram_pairs_block)
+    t = pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": ["shared prefix words here", "shared prefix words there",
+                 "zqxj wvkp mlnb"],
+    })
+    df = ngram_long_batch(t).to_pandas()
+    p = ngram_pairs_block(df, max_df=128)
+    pairs = set(zip(p["doc_a"], p["doc_b"]))
+    assert (7, 8) in pairs
+    row = p[(p["doc_a"] == 7) & (p["doc_b"] == 8)].iloc[0]
+    # intersection bounded by min set size; union sizes ride along
+    assert 0 < row["inter"] <= min(row["sa"], row["sb"])
+
+
+def test_sample_hash_rate_and_determinism():
+    from asserts_otel_processor_ray.stages.events import sample_hash_batch
+    t = pa.table({"event_id": pa.array(range(100_000), pa.int64())})
+    s1 = sample_hash_batch(t)
+    s2 = sample_hash_batch(t)
+    assert s1.equals(s2)
+    rate = s1.num_rows / t.num_rows
+    assert 0.10 < rate < 0.15          # ≈ 1/8
+
+
+def test_quantiles_from_counts_matches_sorted_rank():
+    from asserts_otel_processor_ray.stages.events import (
+        QUANTILE_PCTS, quantiles_from_counts)
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.normal(50, 20, size=1000), 2)
+    vc = pd.Series(vals).value_counts()
+    df = pd.DataFrame({"event_type": "x", "value": vc.index.to_numpy(),
+                       "n": vc.to_numpy()})
+    out = quantiles_from_counts(df)
+    srt = np.sort(vals)
+    n = len(vals)
+    for p in QUANTILE_PCTS:
+        rank = (p * n + 99) // 100
+        assert out[f"p{p}"].iloc[0] == srt[rank - 1]
+    assert int(out["n_events"].iloc[0]) == n
+
+
 # ---- DuckDB-oracle parity (same harness the driver runs) -----------------
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -125,11 +199,13 @@ def ducks():
 
 
 CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
-           "d_token_jaccard", "d_fingerprint", "d_simhash",
+           "d_token_jaccard", "d_ngram_jaccard", "d_doc_freq",
+           "d_fingerprint", "d_simhash",
            "d_simhash_pairs", "d_minhash_pairs", "e_ann_topk",
            "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
-           "g_topk_users", "m_media_features"]
+           "g_topk_users", "g_sample_hash", "g_quantiles",
+           "m_media_features"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
