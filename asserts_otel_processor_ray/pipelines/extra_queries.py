@@ -226,6 +226,96 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """End-to-end dedup: near-dup pairs (the distributed char-n-gram
+    inverted-index pipeline) → connected components → (doc_id,
+    cluster_id=min doc of the component).  The union-find runs on the
+    COLLECTED pair set, which is bounded by true near-dups (|pairs| ≪
+    |docs| — the same boundedness the pair queries rely on); dedup =
+    keep each cluster's min doc."""
+    pairs = D.ngram_jaccard_distributed(_docs(sf_dir))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:      # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)   # root = component min
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    return pa.table({
+        "doc_id": pa.array([int(n) for n in nodes], pa.int64()),
+        "cluster_id": pa.array([find(int(n)) for n in nodes], pa.int64()),
+    })
+
+
+class _TfidfStage:
+    """Actor-pool stage: per-doc top-3 tokens by tf·(N/df) against the
+    broadcast vocabulary df table (bounded by the vocabulary, shipped
+    once via ray.put)."""
+
+    def __init__(self, ref):
+        import ray as _ray
+        d = _ray.get(ref)
+        self.df_map = d["df"]
+        self.n_docs = d["n_docs"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        toks = T._tokens_series(batch.column("text"))
+        ex = toks.explode()
+        tf = (pd.DataFrame({"d": ex.index.to_numpy(),
+                            "t": ex.to_numpy()})
+              .groupby(["d", "t"], sort=False).size()
+              .reset_index(name="tf"))
+        dfv = tf["t"].map(self.df_map).to_numpy().astype(np.int64)
+        score = ((tf["tf"].to_numpy().astype(np.int64) * self.n_docs)
+                 .astype(np.float64) / dfv.astype(np.float64))
+        tf["doc_freq"] = dfv
+        tf["score"] = score
+        tf = tf.sort_values(["d", "score", "t"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        rank = tf.groupby("d", sort=False).cumcount() + 1
+        keep = tf[rank <= 3].assign(rank=rank[rank <= 3])
+        return pa.table({
+            "doc_id": pa.array(doc_id[keep["d"].to_numpy()], pa.int64()),
+            "token": pa.array(keep["t"].to_numpy(), pa.string()),
+            "tf": pa.array(keep["tf"].to_numpy().astype(np.int64),
+                           pa.int64()),
+            "doc_freq": pa.array(keep["doc_freq"].to_numpy(), pa.int64()),
+            "rank": pa.array(keep["rank"].to_numpy().astype(np.int64),
+                             pa.int64()),
+        })
+
+
+def q_tfidf_top(sf_dir: str) -> pa.Table:
+    """Per-doc top-3 tokens by tf·(N/df) — a multiplicative-idf tf-idf
+    (no transcendental log, so the SQL oracle is IEEE-exact).  The df
+    table comes from the same distributed vocabulary aggregate as
+    d_doc_freq and broadcasts once; scoring/ranking is vectorized per
+    batch.  Output is integer/rank-only (ties → token asc)."""
+    from ray.data.aggregate import Sum
+    part = _docs(sf_dir).map_batches(T.doc_freq_partial,
+                                     batch_format="pyarrow")
+    agg = part.groupby("token").aggregate(Sum("partial_df"))
+    dfd = collect_df(agg)
+    dfd.columns = ["token", "doc_freq"]
+    n_docs = int(_docs(sf_dir).count())
+    ref = ray.put({"df": dfd.set_index("token")["doc_freq"],
+                   "n_docs": n_docs})
+    out = _docs(sf_dir).map_batches(_TfidfStage, fn_constructor_args=(ref,),
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 4))
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs via the distributed
     band-groupby-verify pipeline (no whole-corpus driver structure);
@@ -440,7 +530,9 @@ EXTRA_QUERIES = {
     "d_fingerprint": q_fingerprint,
     "d_token_jaccard": q_token_jaccard,
     "d_ngram_jaccard": q_ngram_jaccard,
+    "d_dedup_clusters": q_dedup_clusters,
     "d_doc_freq": q_doc_freq,
+    "d_tfidf_top": q_tfidf_top,
     "d_minhash_pairs": q_minhash_pairs,
     "d_simhash": q_simhash,
     "d_simhash_pairs": q_simhash_pairs,
@@ -690,6 +782,43 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
       >= {threshold}"""
 
 
+def _dedup_clusters_sql() -> str:
+    """SQL mirror of q_dedup_clusters: the n-gram near-dup pairs feed a
+    recursive transitive closure; cluster id = min doc reachable."""
+    pairs = _ngram_jaccard_sql().strip()
+    return f"""
+WITH RECURSIVE np AS ({pairs}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM np
+        UNION SELECT doc_b, doc_a FROM np),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT doc_id, cluster_id FROM comp"""
+
+
+_TFIDF_SQL = """
+WITH lng AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM lng GROUP BY 1, 2),
+dfx AS (SELECT token, count(DISTINCT doc_id) AS doc_freq
+        FROM lng GROUP BY token),
+nd AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.doc_freq,
+        CAST(tf.tf * nd.n AS DOUBLE) / CAST(dfx.doc_freq AS DOUBLE)
+          AS score
+      FROM tf JOIN dfx USING (token) CROSS JOIN nd)
+SELECT doc_id, token, tf, doc_freq, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, token) AS rank
+  FROM s)
+WHERE rank <= 3"""
+
+
 def _quantiles_sql() -> str:
     """SQL mirror of events.quantiles_from_counts: discrete quantile =
     value at 1-based rank ceil(p·n/100) (integer arithmetic) among the
@@ -927,6 +1056,8 @@ SELECT event_type, user_id, n_events, rn AS rank FROM (
 WHERE rn <= 10""",
     "d_minhash_pairs": _minhash_pairs_sql(),
     "d_ngram_jaccard": _ngram_jaccard_sql(),
+    "d_dedup_clusters": _dedup_clusters_sql(),
+    "d_tfidf_top": _TFIDF_SQL,
     "d_doc_freq": """
 WITH lng AS (
   SELECT DISTINCT doc_id, token FROM (

@@ -146,6 +146,42 @@ def test_ngram_pairs_block_counts_cooccurrence():
     assert 0 < row["inter"] <= min(row["sa"], row["sb"])
 
 
+def test_dedup_clusters_transitive(ray_session):
+    """a~b and b~c (but a≁c directly) must land in ONE cluster with
+    the min doc as representative — the union-find is transitive, not
+    pairwise."""
+    import ray as _ray
+    import ray.data as rd
+    from asserts_otel_processor_ray.stages.dedup import (
+        ngram_jaccard_distributed)
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": [base * 3,
+                 base * 3 + "one small tail here",
+                 base * 3 + "one small tail here and a second tail too",
+                 "entirely unrelated words about query planners " * 4],
+    })
+    pairs = ngram_jaccard_distributed(rd.from_arrow(t), threshold=0.4)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (10, 11) in got and (11, 12) in got
+    # replicate q_dedup_clusters' union-find on these pairs
+    parent = {}
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        return r
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    clusters = {n: find(int(n)) for n in nodes}
+    assert clusters[11] == 10 and clusters[12] == 10
+    assert 13 not in clusters
+
+
 def test_sample_hash_rate_and_determinism():
     from asserts_otel_processor_ray.stages.events import sample_hash_batch
     t = pa.table({"event_id": pa.array(range(100_000), pa.int64())})
@@ -199,7 +235,8 @@ def ducks():
 
 
 CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
-           "d_token_jaccard", "d_ngram_jaccard", "d_doc_freq",
+           "d_token_jaccard", "d_ngram_jaccard", "d_dedup_clusters",
+           "d_doc_freq", "d_tfidf_top",
            "d_fingerprint", "d_simhash",
            "d_simhash_pairs", "d_minhash_pairs", "e_ann_topk",
            "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
