@@ -194,6 +194,27 @@ def q_sample_hash(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(part), preserve_index=False)
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join (the custom time-series operator the brief calls
+    out): every `purchase` event joined to the latest `view` event with
+    view.ts ≤ purchase.ts for the same user.  ONE hash repartition by
+    user_id co-locates each user's history; the join itself is a
+    per-block vectorized merge_asof — no global sort, no cross-block
+    state.  Right-side ts ties resolve to min event_id (deterministic;
+    the DuckDB ASOF JOIN oracle sees the same deduped right side)."""
+    ds = _events(sf_dir)
+    from ray.data.context import ShuffleStrategy
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = 8
+    parted = ds.repartition(num_blocks=8, keys=["user_id"])
+    out = parted.map_batches(E.asof_join_block, batch_format="pyarrow",
+                             batch_size=None)
+    df = collect_df(out)
+    return pa.Table.from_pandas(df.sort_values("event_id")
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-event_type discrete quantiles of `value` via the
     value-count-histogram reduction: per-batch count partials → ONE
@@ -227,13 +248,13 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
-    """End-to-end dedup: near-dup pairs (the distributed char-n-gram
-    inverted-index pipeline) → connected components → (doc_id,
-    cluster_id=min doc of the component).  The union-find runs on the
-    COLLECTED pair set, which is bounded by true near-dups (|pairs| ≪
-    |docs| — the same boundedness the pair queries rely on); dedup =
-    keep each cluster's min doc."""
-    pairs = D.ngram_jaccard_distributed(_docs(sf_dir))
+    """End-to-end dedup: near-dup pairs (the distributed MinHash-LSH
+    band-groupby pipeline with exact Jaccard verify) → connected
+    components → (doc_id, cluster_id=min doc of the component).  The
+    union-find runs on the COLLECTED pair set, which is bounded by
+    true near-dups (|pairs| ≪ |docs| — the same boundedness the pair
+    queries rely on); dedup = keep each cluster's min doc."""
+    pairs = D.minhash_pairs_distributed(_docs(sf_dir), threshold=0.5)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -547,6 +568,7 @@ EXTRA_QUERIES = {
     "g_topk_users": q_topk_users,
     "g_sample_hash": q_sample_hash,
     "g_quantiles": q_quantiles,
+    "g_asof_join": q_asof_join,
     "m_media_features": q_media_features,
 }
 
@@ -783,9 +805,9 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
 
 
 def _dedup_clusters_sql() -> str:
-    """SQL mirror of q_dedup_clusters: the n-gram near-dup pairs feed a
-    recursive transitive closure; cluster id = min doc reachable."""
-    pairs = _ngram_jaccard_sql().strip()
+    """SQL mirror of q_dedup_clusters: the MinHash near-dup pairs feed
+    a recursive transitive closure; cluster id = min doc reachable."""
+    pairs = _minhash_pairs_sql().strip()
     return f"""
 WITH RECURSIVE np AS ({pairs}),
 und AS (SELECT doc_a AS a, doc_b AS b FROM np
@@ -1071,6 +1093,20 @@ SELECT token, doc_freq, rank FROM (
 WHERE rank <= 200""",
     "g_sample_hash": _sample_hash_sql(),
     "g_quantiles": _quantiles_sql(),
+    "g_asof_join": """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id,
+         value AS view_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'view')
+  WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.view_event_id, r.view_ts, r.view_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.view_ts""",
     "e_lsh_buckets": _lsh_buckets_sql(),
     "e_ann_lsh": _ann_lsh_sql(),
     "e_ann_ivf": _ann_ivf_sql(),

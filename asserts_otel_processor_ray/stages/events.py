@@ -119,6 +119,78 @@ def sample_hash_batch(batch: pa.Table,
     return batch.filter(pa.array(keep))
 
 
+# ---- as-of join ------------------------------------------------------------
+#
+# The custom time-series operator Ray Data lacks natively: for each
+# left event, attach the latest right event with ts <= left.ts for the
+# same key.  Partitioning assumption (documented per the build brief):
+# ONE hash repartition co-locates each user's full history, then the
+# join is a per-block vectorized pandas merge_asof — no global sort,
+# no cross-block state.
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "view"
+
+
+def asof_join_block(batch: pa.Table,
+                    left_type: str = ASOF_LEFT_TYPE,
+                    right_type: str = ASOF_RIGHT_TYPE) -> pa.Table:
+    """Per-block body (blocks hash-partitioned by user_id): left rows =
+    `left_type` events, right rows = `right_type` events deduped to one
+    per (user, ts) by min event_id (so the as-of pick is deterministic
+    under ts ties), backward-inclusive merge_asof per user."""
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+        "view_event_id": pa.array([], pa.int64()),
+        "view_ts": pa.array([], pa.timestamp("us")),
+        "view_value": pa.array([], pa.float64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    df = batch.select(["event_id", "ts", "user_id", "event_type",
+                       "value"]).to_pandas()
+    left = df[df["event_type"] == left_type]
+    right = df[df["event_type"] == right_type]
+    if left.empty:
+        return empty
+    if right.empty:
+        out = left.copy()
+        out["view_event_id"] = pd.array([pd.NA] * len(out),
+                                        dtype="Int64")
+        out["view_ts"] = pd.NaT
+        out["view_value"] = np.nan
+    else:
+        right = (right.sort_values(["user_id", "ts", "event_id"],
+                                   kind="mergesort")
+                 .drop_duplicates(["user_id", "ts"], keep="first")
+                 .rename(columns={"event_id": "view_event_id",
+                                  "ts": "view_ts",
+                                  "value": "view_value"})
+                 [["user_id", "view_ts", "view_event_id", "view_value"]])
+        left = left.sort_values(["ts", "event_id"], kind="mergesort")
+        right = right.sort_values("view_ts", kind="mergesort")
+        out = pd.merge_asof(left, right, left_on="ts",
+                            right_on="view_ts", by="user_id",
+                            direction="backward",
+                            allow_exact_matches=True)
+        out["view_event_id"] = out["view_event_id"].astype("Int64")
+    return pa.table({
+        "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "ts": pa.Array.from_pandas(out["ts"], type=pa.timestamp("us")),
+        "value": pa.array(out["value"].to_numpy(), pa.float64()),
+        "view_event_id": pa.Array.from_pandas(out["view_event_id"],
+                                              type=pa.int64()),
+        "view_ts": pa.Array.from_pandas(out["view_ts"],
+                                        type=pa.timestamp("us")),
+        "view_value": pa.Array.from_pandas(out["view_value"],
+                                           type=pa.float64()),
+    })
+
+
 # ---- exact distributed quantiles ------------------------------------------
 #
 # Exact per-group quantiles without a global sort: per-batch

@@ -168,8 +168,47 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_extras(sf_dir: str, num_cpus: int) -> dict:
+    """Time every training-data operator (the EXTRA_QUERIES surface)
+    at bench scale — measured evidence the extras run beyond the
+    correctness-gate inputs."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        EXTRA_QUERIES)
+    ray.data.range(10_000).map_batches(lambda b: b).materialize()
+    ops = {}
+    t_all = time.time()
+    for name in sorted(EXTRA_QUERIES):
+        t0 = time.time()
+        res = EXTRA_QUERIES[name](sf_dir)
+        ops[name] = {"sec": round(time.time() - t0, 3),
+                     "rows": int(res.num_rows)}
+    return {"extras_total_sec": round(time.time() - t_all, 3),
+            "ops": ops}
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--extras" in args:
+        cpus = NUM_CPUS
+        if "--cpus" in args:
+            cpus = int(args[args.index("--cpus") + 1])
+        r = run_extras(SF_DIR, cpus)
+        print(json.dumps({
+            "metric": "training-data operator suite wall time",
+            "value": r["extras_total_sec"], "unit": "sec",
+            "sf": SF_DIR, "num_cpus": cpus,
+            "queries": {k: v["sec"] for k, v in r["ops"].items()},
+            "rows": {k: v["rows"] for k, v in r["ops"].items()}}))
+        return
+
     if "--once" in args:
         cpus = NUM_CPUS
         if "--cpus" in args:

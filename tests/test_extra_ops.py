@@ -150,10 +150,9 @@ def test_dedup_clusters_transitive(ray_session):
     """a~b and b~c (but a≁c directly) must land in ONE cluster with
     the min doc as representative — the union-find is transitive, not
     pairwise."""
-    import ray as _ray
     import ray.data as rd
     from asserts_otel_processor_ray.stages.dedup import (
-        ngram_jaccard_distributed)
+        minhash_pairs_distributed)
     base = "the quick brown fox jumps over the lazy dog again and again "
     t = pa.table({
         "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
@@ -162,7 +161,7 @@ def test_dedup_clusters_transitive(ray_session):
                  base * 3 + "one small tail here and a second tail too",
                  "entirely unrelated words about query planners " * 4],
     })
-    pairs = ngram_jaccard_distributed(rd.from_arrow(t), threshold=0.4)
+    pairs = minhash_pairs_distributed(rd.from_arrow(t), threshold=0.4)
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (10, 11) in got and (11, 12) in got
     # replicate q_dedup_clusters' union-find on these pairs
@@ -190,6 +189,30 @@ def test_sample_hash_rate_and_determinism():
     assert s1.equals(s2)
     rate = s1.num_rows / t.num_rows
     assert 0.10 < rate < 0.15          # ≈ 1/8
+
+
+def test_asof_join_block_semantics():
+    """Backward-inclusive as-of pick, per-user isolation, ts-tie →
+    min event_id, and NULLs when no prior right event exists."""
+    from asserts_otel_processor_ray.stages.events import asof_join_block
+    ts = pa.array(np.array([100, 200, 200, 300, 50, 400], "datetime64[us]"),
+                  pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+        "event_type": ["view", "view", "view", "purchase",
+                       "purchase", "purchase"],
+        "value": pa.array([1.0, 2.0, 3.0, 99.0, 98.0, 97.0],
+                          pa.float64()),
+    })
+    out = asof_join_block(t).to_pandas().set_index("event_id")
+    # user 7's purchase at 300 → tie at ts=200 resolves to event 2
+    assert out.loc[4, "view_event_id"] == 2
+    assert out.loc[4, "view_value"] == 2.0
+    # user 8 has no views at all → NULL join (never user 7's views)
+    assert pd.isna(out.loc[5, "view_event_id"])
+    assert pd.isna(out.loc[6, "view_event_id"])
 
 
 def test_quantiles_from_counts_matches_sorted_rank():
@@ -242,7 +265,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "g_sample_hash", "g_quantiles",
-           "m_media_features"]
+           "g_asof_join", "m_media_features"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
