@@ -215,6 +215,37 @@ def test_asof_join_block_semantics():
     assert pd.isna(out.loc[6, "view_event_id"])
 
 
+def test_new_op_kernels_handle_degenerate_batches():
+    """Empty batches and empty/whitespace texts must not crash the new
+    per-batch kernels (the streaming executor feeds whatever block
+    boundaries produce)."""
+    from asserts_otel_processor_ray.stages.dedup import ngram_long_batch
+    from asserts_otel_processor_ray.stages.events import (
+        asof_join_block, sample_hash_batch, value_count_partial)
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        doc_freq_partial)
+    # empty events batch
+    ev_empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    })
+    assert asof_join_block(ev_empty).num_rows == 0
+    assert sample_hash_batch(ev_empty).num_rows == 0
+    assert value_count_partial(ev_empty).num_rows == 0
+    # docs with empty / whitespace-only / short texts
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["", "   ", "ab"],
+    })
+    lng = ngram_long_batch(docs)
+    # empty/ws-only docs contribute nothing; "ab" yields its whole-string hash
+    assert lng.column("doc_id").to_pylist() == [2]
+    assert doc_freq_partial(docs).num_rows >= 1  # "" token from split
+
+
 def test_quantiles_from_counts_matches_sorted_rank():
     from asserts_otel_processor_ray.stages.events import (
         QUANTILE_PCTS, quantiles_from_counts)
