@@ -543,6 +543,20 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
 
 
+def q_frame_sample(sf_dir: str) -> pa.Table:
+    """Video frame-sampling plumbing: one media row → k evenly-spaced
+    frame rows through an actor-pool explode stage (decode is the
+    documented deterministic stub; the Ray-side layout is real)."""
+    from asserts_otel_processor_ray.stages.multimodal import (
+        FrameSampleStage, documents_as_media)
+    media = _docs(sf_dir).map_batches(documents_as_media,
+                                      batch_format="pyarrow")
+    frames = media.map_batches(FrameSampleStage, batch_size=64,
+                               concurrency=(1, 4),
+                               batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(frames), preserve_index=False)
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -570,6 +584,7 @@ EXTRA_QUERIES = {
     "g_quantiles": q_quantiles,
     "g_asof_join": q_asof_join,
     "m_media_features": q_media_features,
+    "m_frame_sample": q_frame_sample,
 }
 
 
@@ -1115,4 +1130,15 @@ SELECT doc_id AS media_id, 'image' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
        substr(sha256(text), 1, 8) AS payload_sha8
 FROM documents""",
+    "m_frame_sample": """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         greatest(octet_length(CAST(text AS BLOB)) // 64, 1) AS n_frames
+  FROM documents),
+s AS (SELECT media_id, n_frames, least(8, n_frames) AS k FROM f)
+SELECT media_id, n_frames, (j * n_frames) // k AS frame_idx,
+       j + 1 AS frame_rank,
+       (((j * n_frames) // k) * 1000003 + media_id)
+         % 2305843009213693951 AS frame_sig
+FROM s, generate_series(0, 7) AS g(j) WHERE j < k""",
 }

@@ -69,6 +69,58 @@ class MediaFeatureStage:
         }, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("frame_idx", pa.int64()),
+    ("frame_rank", pa.int64()),        # 1..k within the media row
+    ("frame_sig", pa.int64()),         # stub frame fingerprint
+])
+
+FRAME_BYTES = 64      # stub: 1 "frame" per 64 payload bytes
+FRAME_SAMPLE_K = 8    # evenly-spaced frames sampled per media
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video frame sampling — each media row expands
+    to up to ``k`` evenly-spaced frame rows (the one-to-many explode
+    shape a video pipeline needs; small ``batch_size``, codec init once
+    per actor).
+
+    The container has no video codecs, so frame decode is a
+    clearly-marked deterministic stub: n_frames = max(n_bytes//64, 1),
+    sampled indices = floor(j·n_frames/k), and the frame "signature"
+    is integer arithmetic on (frame_idx, media_id) — a real deployment
+    replaces the signature with a decoded-frame feature while keeping
+    the explode layout and schema."""
+
+    def __init__(self, k: int = FRAME_SAMPLE_K):
+        self.k = k                     # codec/model init once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mid = batch.column("media_id").to_numpy()
+        n_bytes = pc.binary_length(
+            batch.column("payload")).to_numpy().astype(np.int64)
+        n_frames = np.maximum(n_bytes // FRAME_BYTES, 1)
+        k = np.minimum(self.k, n_frames)
+        rep_mid = np.repeat(mid, k)
+        rep_nf = np.repeat(n_frames, k)
+        # j = 0..k_i-1 per media, vectorized
+        offs = np.r_[0, np.cumsum(k)]
+        j = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], k)
+        frame_idx = (j * rep_nf) // np.repeat(k, k)
+        frame_sig = (frame_idx * np.int64(1_000_003) + rep_mid) \
+            % np.int64((1 << 61) - 1)
+        return pa.table({
+            "media_id": pa.array(rep_mid, pa.int64()),
+            "n_frames": pa.array(rep_nf, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "frame_rank": pa.array(j + 1, pa.int64()),
+            "frame_sig": pa.array(frame_sig, pa.int64()),
+        }, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(batch: pa.Table) -> pa.Table:
     """Adapter used by tests/queries: treat document text bytes as an
     opaque payload so the media plumbing can be exercised without

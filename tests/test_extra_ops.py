@@ -191,6 +191,24 @@ def test_sample_hash_rate_and_determinism():
     assert 0.10 < rate < 0.15          # ≈ 1/8
 
 
+def test_frame_sample_explode_shape():
+    """One media row explodes to min(8, n_frames) evenly-spaced frames;
+    short payloads still yield one frame."""
+    from asserts_otel_processor_ray.stages.multimodal import (
+        FrameSampleStage, documents_as_media)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["x" * 1000, "tiny"],       # 15 frames vs 1 frame
+    })
+    out = FrameSampleStage()(documents_as_media(t)).to_pandas()
+    g1 = out[out["media_id"] == 1]
+    g2 = out[out["media_id"] == 2]
+    assert len(g1) == 8 and g1["n_frames"].iloc[0] == 15
+    assert list(g1["frame_idx"]) == [j * 15 // 8 for j in range(8)]
+    assert len(g2) == 1 and g2["frame_idx"].iloc[0] == 0
+    assert list(g1["frame_rank"]) == list(range(1, 9))
+
+
 def test_asof_join_block_semantics():
     """Backward-inclusive as-of pick, per-user isolation, ts-tie →
     min event_id, and NULLs when no prior right event exists."""
@@ -296,7 +314,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "g_sample_hash", "g_quantiles",
-           "g_asof_join", "m_media_features"]
+           "g_asof_join", "m_media_features", "m_frame_sample"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
