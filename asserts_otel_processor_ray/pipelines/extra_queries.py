@@ -543,6 +543,27 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
 
 
+def q_bpe_tokens(sf_dir: str) -> pa.Table:
+    """BPE-ish regex token counts per doc (the brief's 'whitespace + a
+    BPE-ish regex' token counting; whitespace counts live in
+    d_token_stats).  Pure vectorized RE2 count per batch."""
+    part = _docs(sf_dir).map_batches(T.bpe_token_count_batch,
+                                     batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+def q_resize(sf_dir: str) -> pa.Table:
+    """Image resize plumbing: fit-into-256-box with integer aspect
+    math through an actor-pool stage (decode stubbed as documented)."""
+    from asserts_otel_processor_ray.stages.multimodal import (
+        ResizeStage, documents_as_media)
+    media = _docs(sf_dir).map_batches(documents_as_media,
+                                      batch_format="pyarrow")
+    out = media.map_batches(ResizeStage, batch_size=64,
+                            concurrency=(1, 4), batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
 def q_frame_sample(sf_dir: str) -> pa.Table:
     """Video frame-sampling plumbing: one media row → k evenly-spaced
     frame rows through an actor-pool explode stage (decode is the
@@ -583,8 +604,10 @@ EXTRA_QUERIES = {
     "g_sample_hash": q_sample_hash,
     "g_quantiles": q_quantiles,
     "g_asof_join": q_asof_join,
+    "d_bpe_tokens": q_bpe_tokens,
     "m_media_features": q_media_features,
     "m_frame_sample": q_frame_sample,
+    "m_resize": q_resize,
 }
 
 
@@ -1141,4 +1164,23 @@ SELECT media_id, n_frames, (j * n_frames) // k AS frame_idx,
        (((j * n_frames) // k) * 1000003 + media_id)
          % 2305843009213693951 AS frame_sig
 FROM s, generate_series(0, 7) AS g(j) WHERE j < k""",
+    "d_bpe_tokens": f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS n_bpe_tokens,
+  len(regexp_extract_all(text, '\\s+')) AS n_ws_runs
+FROM documents""",
+    "m_resize": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         64 + octet_length(CAST(text AS BLOB)) % 512 AS in_w,
+         64 + (octet_length(CAST(text AS BLOB)) * 7919) % 512 AS in_h
+  FROM documents),
+m AS (SELECT *, greatest(in_w, in_h) AS mx FROM d)
+SELECT media_id, in_w, in_h,
+  CASE WHEN mx > 256 THEN greatest(1, in_w * 256 // mx) ELSE in_w END
+    AS out_w,
+  CASE WHEN mx > 256 THEN greatest(1, in_h * 256 // mx) ELSE in_h END
+    AS out_h,
+  CASE WHEN mx > 256 THEN mx ELSE 256 END AS scale_den
+FROM m""",
 }

@@ -121,6 +121,52 @@ class FrameSampleStage:
         }, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("in_w", pa.int64()),
+    ("in_h", pa.int64()),
+    ("out_w", pa.int64()),
+    ("out_h", pa.int64()),
+    ("scale_den", pa.int64()),         # scale = target/scale_den
+])
+
+
+class ResizeStage:
+    """Actor-pool stage: fit each image into a target×target box
+    preserving aspect ratio (integer arithmetic, so the oracle is
+    exact).  Decode/re-encode is the documented stub — the container
+    has no codecs — so the input dims are derived deterministically
+    from the payload length; a real deployment reads them from the
+    decoded image and emits resized bytes with the same schema."""
+
+    TARGET = 256
+
+    def __init__(self, target: int = TARGET):
+        self.target = np.int64(target)   # codec init once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mid = batch.column("media_id").to_numpy()
+        n_bytes = pc.binary_length(
+            batch.column("payload")).to_numpy().astype(np.int64)
+        # stub "decoded" dims — deterministic from payload length
+        w = 64 + n_bytes % 512
+        h = 64 + (n_bytes * 7919) % 512
+        m = np.maximum(w, h)
+        big = m > self.target
+        out_w = np.where(big, np.maximum(1, w * self.target // m), w)
+        out_h = np.where(big, np.maximum(1, h * self.target // m), h)
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "in_w": pa.array(w, pa.int64()),
+            "in_h": pa.array(h, pa.int64()),
+            "out_w": pa.array(out_w, pa.int64()),
+            "out_h": pa.array(out_h, pa.int64()),
+            "scale_den": pa.array(np.where(big, m, self.target),
+                                  pa.int64()),
+        }, schema=RESIZE_SCHEMA)
+
+
 def documents_as_media(batch: pa.Table) -> pa.Table:
     """Adapter used by tests/queries: treat document text bytes as an
     opaque payload so the media plumbing can be exercised without

@@ -295,6 +295,28 @@ def char_ngram_hashes(text: pa.ChunkedArray | pa.Array, w: int = 5
     return _rolling_poly(cp, doc_of, lens, w)
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style, lookahead-free so RE2 —
+# which Arrow AND DuckDB both embed — accepts it verbatim): a token is
+# an optionally-space-prefixed letter run, digit run, or punctuation
+# run, else a whitespace run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Token counting under the BPE-ish regex (vs the whitespace count
+    of token_stats): one vectorized RE2 count per row — Arrow's
+    count_substring_regex and DuckDB's regexp_extract_all share the
+    RE2 engine, so the oracle is exact."""
+    text = batch.column("text")
+    n = pc.count_substring_regex(text, BPE_PATTERN).cast(pa.int64())
+    ws = pc.count_substring_regex(text, r"\s+").cast(pa.int64())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": n,
+        "n_ws_runs": ws,
+    })
+
+
 def doc_freq_partial(batch: pa.Table) -> pa.Table:
     """Per-batch document-frequency partial: for every token, the
     number of batch docs containing it (distinct per doc).  The

@@ -209,6 +209,41 @@ def test_frame_sample_explode_shape():
     assert list(g1["frame_rank"]) == list(range(1, 9))
 
 
+def test_resize_aspect_math():
+    """Fit-into-box preserves aspect via integer math; small images
+    pass through."""
+    from asserts_otel_processor_ray.stages.multimodal import (
+        ResizeStage, documents_as_media)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["x" * 500, "x" * 100],
+    })
+    out = ResizeStage()(documents_as_media(t)).to_pandas()
+    r = out.set_index("media_id")
+    for mid in (1, 2):
+        w, h = int(r.loc[mid, "in_w"]), int(r.loc[mid, "in_h"])
+        m = max(w, h)
+        if m > 256:
+            assert r.loc[mid, "out_w"] == max(1, w * 256 // m)
+            assert r.loc[mid, "out_h"] == max(1, h * 256 // m)
+            assert max(r.loc[mid, "out_w"], r.loc[mid, "out_h"]) == 256
+        else:
+            assert (r.loc[mid, "out_w"], r.loc[mid, "out_h"]) == (w, h)
+
+
+def test_bpe_token_count_semantics():
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        bpe_token_count_batch)
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": ["Hello world, 42 cats!"],
+    })
+    out = bpe_token_count_batch(t).to_pandas()
+    # "Hello", " world", ",", " 42", " cats", "!" → 6 BPE-ish tokens
+    assert out["n_bpe_tokens"].iloc[0] == 6
+    assert out["n_ws_runs"].iloc[0] == 3
+
+
 def test_asof_join_block_semantics():
     """Backward-inclusive as-of pick, per-user isolation, ts-tie →
     min event_id, and NULLs when no prior right event exists."""
@@ -314,7 +349,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "g_sample_hash", "g_quantiles",
-           "g_asof_join", "m_media_features", "m_frame_sample"]
+           "g_asof_join", "m_media_features", "m_frame_sample",
+           "m_resize", "d_bpe_tokens"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
