@@ -543,6 +543,67 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
 
 
+def _nation_rollup_partial(nmap_names: np.ndarray):
+    """Per-batch partial for the joined orders×customer stream: attach
+    the nation name via the broadcast 25-row dimension (a numpy gather,
+    not a shuffle) and pre-aggregate count/max per nation."""
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64()),
+                             "partial_max": pa.array([], pa.float64())})
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "n_name": nmap_names[nk],
+            "p": batch.column("o_totalprice").to_numpy()})
+        g = df.groupby("n_name", sort=False)["p"].agg(["size", "max"])
+        g = g.reset_index()
+        return pa.table({
+            "n_name": pa.array(g["n_name"].to_numpy(), pa.string()),
+            "partial_n": pa.array(g["size"].to_numpy().astype(np.int64),
+                                  pa.int64()),
+            "partial_max": pa.array(g["max"].to_numpy(), pa.float64()),
+        })
+    return part
+
+
+def q_nation_orders(sf_dir: str) -> pa.Table:
+    """Big-big distributed hash join + broadcast dim + rollup over the
+    TPC-H-ish tables: orders ⋈ customer on custkey via Ray Data's
+    native hash join (both sides shuffle by key — the one shape the
+    log pipeline itself never needs), nation attached from a broadcast
+    25-row dimension, then per-batch partials → distributed
+    groupby(n_name) count/max.  Max (not sum) keeps the float
+    aggregate order-independent and oracle-exact."""
+    from ray.data.aggregate import Max, Sum
+    from ray.data.context import ShuffleStrategy
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    orders.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    orders.context.max_hash_shuffle_aggregators = 8
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nmap_names = np.empty(
+        int(pa.compute.max(nt.column("n_nationkey")).as_py()) + 1,
+        dtype=object)
+    nmap_names[nt.column("n_nationkey").to_numpy()] = \
+        nt.column("n_name").to_numpy(zero_copy_only=False)
+    part = joined.map_batches(_nation_rollup_partial(nmap_names),
+                              batch_format="pyarrow")
+    agg = part.groupby("n_name").aggregate(Sum("partial_n"),
+                                           Max("partial_max"))
+    df = collect_df(agg)
+    df.columns = ["n_name", "n_orders", "max_totalprice"]
+    df["n_orders"] = df["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(df.sort_values("n_name")
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_bpe_tokens(sf_dir: str) -> pa.Table:
     """BPE-ish regex token counts per doc (the brief's 'whitespace + a
     BPE-ish regex' token counting; whitespace counts live in
@@ -605,6 +666,7 @@ EXTRA_QUERIES = {
     "g_quantiles": q_quantiles,
     "g_asof_join": q_asof_join,
     "d_bpe_tokens": q_bpe_tokens,
+    "h_nation_orders": q_nation_orders,
     "m_media_features": q_media_features,
     "m_frame_sample": q_frame_sample,
     "m_resize": q_resize,
@@ -1131,6 +1193,12 @@ SELECT token, doc_freq, rank FROM (
 WHERE rank <= 200""",
     "g_sample_hash": _sample_hash_sql(),
     "g_quantiles": _quantiles_sql(),
+    "h_nation_orders": """
+SELECT n_name, count(*) AS n_orders, max(o_totalprice) AS max_totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
     "g_asof_join": """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),

@@ -335,7 +335,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def ducks():
     con = duckdb.connect()
-    for name in ["documents", "embeddings", "events"]:
+    for name in ["documents", "embeddings", "events",
+                 "orders", "customer", "nation"]:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
                 f"read_parquet('{SF}/{name}.parquet')")
     return con
@@ -350,7 +351,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "g_sample_hash", "g_quantiles",
            "g_asof_join", "m_media_features", "m_frame_sample",
-           "m_resize", "d_bpe_tokens"]
+           "m_resize", "d_bpe_tokens", "h_nation_orders"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
