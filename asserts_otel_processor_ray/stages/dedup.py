@@ -329,17 +329,51 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
                               batch_format="pyarrow",
                               concurrency=(1, 8))
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if max_bucket is not None and len(group) > max_bucket:
-            # marker row so the driver can count/log what was dropped
-            return pd.DataFrame({"doc_a": [np.int64(-1)],
-                                 "doc_b": [np.int64(-1)],
-                                 "jaccard": [float(len(group))]})
-        return verify_bucket_df(group, threshold)
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-block body (blocks hash-partitioned by (band_id,
+        band_hash), so every bucket is block-local): prefilter to
+        multi-member buckets, then verify each bucket.  (Repartition +
+        block kernel instead of groupby().map_groups: Ray's map_groups
+        machinery dominates on tens of thousands of tiny buckets —
+        measured 11.2 s → 6.7 s at sf0.1, bit-identical pairs.)"""
+        empty = pd.DataFrame(_EMPTY_PAIRS)
+        if df.empty:
+            return empty
+        # composite-key prefilter; xor collisions can only RETAIN an
+        # extra singleton (harmless), never drop a real bucket — the
+        # exact two-column groupby below is authoritative
+        key = (df["band_id"].to_numpy().astype(np.int64)
+               * np.int64(1 << 48)
+               ^ df["band_hash"].to_numpy().astype(np.int64))
+        df = df.assign(_k=key)
+        vc = df["_k"].value_counts()
+        df = df[df["_k"].isin(vc[vc >= 2].index)]
+        if df.empty:
+            return empty
+        out = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if max_bucket is not None and len(g) > max_bucket:
+                # marker row so the driver can count/log what was dropped
+                out.append(pd.DataFrame({"doc_a": [np.int64(-1)],
+                                         "doc_b": [np.int64(-1)],
+                                         "jaccard": [float(len(g))]}))
+            else:
+                r = verify_bucket_df(g, threshold)
+                if len(r):
+                    out.append(r)
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
-    out = banded.groupby(["band_id", "band_hash"]).map_groups(
-        verify, batch_format="pandas")
+    from ray.data.context import ShuffleStrategy
+
     from asserts_otel_processor_ray.stages.topk import collect_df
+    banded.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    banded.context.max_hash_shuffle_aggregators = 8
+    parted = banded.repartition(num_blocks=16,
+                                keys=["band_id", "band_hash"])
+    out = parted.map_batches(verify_block, batch_format="pandas",
+                             batch_size=None)
     df = collect_df(out)
     stats = {"skipped_buckets": 0, "max_skipped_size": 0}
     if not df.empty:
