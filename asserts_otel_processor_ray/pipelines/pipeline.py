@@ -646,9 +646,26 @@ def build_decided_ex(ds: "ray.data.Dataset", config: PipelineConfig, *,
                             "shuffle='none' requires conversation-clustered "
                             "input, but a block has non-contiguous conv_id "
                             "runs; rerun with shuffle='sort'")
-                em = pa.compute.or_(
-                    pa.compute.equal(conv, conv[0]),
-                    pa.compute.equal(conv, conv[t.num_rows - 1]))
+                    # mark edge rows by VALUE, not position: the row-group
+                    # stats chain proves any conv straddling two blocks
+                    # equals one block's max and the other's min conv
+                    # VALUE — which can sit positionally interior (block
+                    # rows [A, M, B] with A < B < M: M is the max value
+                    # but B holds the last row).  For conv-sorted blocks
+                    # this coincides with first/last-row marking.
+                    mm = pa.compute.min_max(conv)
+                    em = pa.compute.or_(
+                        pa.compute.equal(conv, mm["min"]),
+                        pa.compute.equal(conv, mm["max"]))
+                else:
+                    # range-sorted blocks are ordered by (conv_h, conv_id,
+                    # turn_idx), so the boundary-straddling convs are
+                    # exactly the first/last ROWS' convs (conv_id values
+                    # are NOT sorted within a block — value-based min/max
+                    # would mark the wrong rows here)
+                    em = pa.compute.or_(
+                        pa.compute.equal(conv, conv[0]),
+                        pa.compute.equal(conv, conv[t.num_rows - 1]))
                 edge = t.filter(em)
                 out = stage(t.filter(pa.compute.invert(em)))
             else:

@@ -84,6 +84,60 @@ def test_unclustered_detected_and_guarded(ray_session, tmp_path):
         _decided_df(bad, "none")
 
 
+def _interior_straddle_copy(tmp_path) -> tuple[str, str]:
+    """The ADVICE repro layout: a provably-clustered input where a
+    straddling conv sits positionally INTERIOR in its block.  File 1
+    row order = [c0..c(k-2), M-first-half, c(k-1)] with M = c(k), so
+    file 1's stats are min=c0 / max=M but its LAST row's conv is
+    c(k-1); file 2 = [M-second-half, c(k+1)..].  Position-based edge
+    marking misses M in block 1 and silently decides it as two
+    fragments; value-based marking routes it through edge repair."""
+    src = ensure_transcripts(SF_DIR)
+    tbl = pa.concat_tables([pq.read_table(os.path.join(src, f))
+                            for f in sorted(os.listdir(src))])
+    df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+    convs = sorted(df["conv_id"].unique())
+    assert len(convs) >= 8
+    k = len(convs) // 2
+    m = convs[k]
+    mrows = df[df["conv_id"] == m]
+    assert len(mrows) >= 2, "need a multi-row conv to straddle"
+    half = len(mrows) // 2
+    part1 = pd.concat([df[df["conv_id"].isin(convs[:k - 1])],
+                       mrows.iloc[:half],
+                       df[df["conv_id"] == convs[k - 1]]],
+                      ignore_index=True)
+    part2 = pd.concat([mrows.iloc[half:],
+                       df[df["conv_id"].isin(convs[k + 1:])]],
+                      ignore_index=True)
+    out = str(tmp_path / "interior_straddle")
+    os.makedirs(out, exist_ok=True)
+    for i, p in enumerate((part1, part2)):
+        pq.write_table(pa.Table.from_pandas(p, schema=tbl.schema,
+                                            preserve_index=False),
+                       os.path.join(out, f"part-{i:05d}.parquet"))
+    return out, m
+
+
+def test_interior_straddle_conv_repaired(ray_session, tmp_path):
+    path, m = _interior_straddle_copy(tmp_path)
+    # the stats chain still PROVES clustering (equality at the seam)
+    assert parquet_conv_clustered(path)
+    cfg = default_config()
+    # force one block per file so conv m straddles two blocks while
+    # being positionally interior in block 1
+    ds = read_transcripts(path, num_blocks=2)
+    b = build_decided_ex(ds, cfg, num_partitions=2, shuffle="none")
+    got = b.decided.to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    want, _, _ = _decided_df(path, "sort")
+    got = got.reindex(sorted(got.columns), axis=1)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # and winner selection over the repaired table agrees too
+    assert select_winners(b.decided, cfg) == _decided_df(path, "sort")[2]
+
+
 def test_routed_equal_on_unclustered_source(ray_session, tmp_path):
     """Full run_pipeline on an unclustered copy must route the same
     rows as on the clustered original — exercises shuffle='sort'
