@@ -1056,7 +1056,8 @@ sh AS (
 SELECT doc_id, printf('%016x', CAST(list_min(s) AS BIGINT)) AS fingerprint
 FROM sh""",
     # SimHash near-dup pairs: 4×16-bit chunk banding + exact hamming,
-    # the SQL mirror of dedup.simhash_pairs_distributed
+    # the SQL mirror of dedup.simhash_pairs_distributed (the bsz/ok
+    # CTEs mirror its DEFAULT_MAX_BUCKET=256 hot-bucket cap)
     "d_simhash_pairs": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -1076,10 +1077,13 @@ s AS (
 b AS (
   SELECT doc_id, v, i AS band, (v >> (16*i)) & 65535 AS chunk
   FROM s, generate_series(0, 3) AS g(i)),
+bsz AS (SELECT band, chunk, count(*) AS n FROM b GROUP BY 1, 2),
+ok AS (SELECT b.* FROM b JOIN bsz USING (band, chunk)
+       WHERE n <= 256),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
     a.v AS va, c.v AS vb
-  FROM b a JOIN b c ON a.band = c.band AND a.chunk = c.chunk
+  FROM ok a JOIN ok c ON a.band = c.band AND a.chunk = c.chunk
    AND a.doc_id < c.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(va, vb)) <= 3""",

@@ -650,13 +650,21 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return b.sum(axis=1).astype(np.int64)
 
 
-def simhash_verify_bucket(group: pd.DataFrame,
-                          max_hamming: int) -> pd.DataFrame:
+def simhash_verify_bucket(group: pd.DataFrame, max_hamming: int,
+                          max_bucket: int | None = None) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                           "doc_b": pd.Series(dtype=np.int64),
                           "hamming": pd.Series(dtype=np.int64)})
     if len(group) < 2:
         return empty
+    if max_bucket is not None and len(group) > max_bucket:
+        # hot-bucket guard (same pattern as verify_block's MinHash cap):
+        # a degenerate 16-bit chunk bucket (near-identical/empty docs)
+        # must not materialize O(|bucket|²) triu indices inside one
+        # map_groups task.  Marker row → counted and logged upstream.
+        return pd.DataFrame({"doc_a": [np.int64(-1)],
+                             "doc_b": [np.int64(-1)],
+                             "hamming": [np.int64(len(group))]})
     g = group.drop_duplicates("doc_id").sort_values("doc_id")
     ids = g["doc_id"].to_numpy()
     vals = g["simhash"].to_numpy().astype(np.uint64)
@@ -671,22 +679,48 @@ def simhash_verify_bucket(group: pd.DataFrame,
                          "hamming": ham[hit].astype(np.int64)})
 
 
-def simhash_pairs_distributed(docs, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_pairs_distributed(docs, max_hamming: int = 3,
+                              max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                              return_stats: bool = False):
     """SimHash near-dup pairs as a real shuffle: chunk-band expand per
     batch, groupby((band_id, band_hash)) moving 16-byte rows only,
-    exact hamming verify per bucket, driver dedup of verified pairs."""
+    exact hamming verify per bucket, driver dedup of verified pairs.
+
+    ``max_bucket`` (default DEFAULT_MAX_BUCKET, same guard as the
+    MinHash path) skips degenerate hot buckets; skipped buckets are
+    counted and logged, never silent.  Pass None to verify everything.
+    (Bucket verify stays groupby().map_groups, not repartition+block
+    kernel: measured 3.7 s → 5.4 s the other way at ~5k groups — the
+    hash-shuffle exchange costs more than map_groups overhead here.)"""
     banded = docs.map_batches(simhash_band_expand, batch_format="pyarrow")
     out = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: simhash_verify_bucket(g, max_hamming),
+        lambda g: simhash_verify_bucket(g, max_hamming, max_bucket),
         batch_format="pandas")
     from asserts_otel_processor_ray.stages.topk import collect_df
     df = collect_df(out)
+    stats = {"skipped_buckets": 0, "max_skipped_size": 0}
+    if not df.empty:
+        skip = df["doc_a"] < 0
+        if skip.any():
+            sizes = df.loc[skip, "hamming"]
+            stats = {"skipped_buckets": int(skip.sum()),
+                     "max_skipped_size": int(sizes.max())}
+            import logging
+            logging.getLogger(__name__).warning(
+                "simhash LSH: skipped %d hot bucket(s) over max_bucket="
+                "%s (largest: %d docs)", stats["skipped_buckets"],
+                max_bucket, stats["max_skipped_size"])
+            df = df[~skip]
     if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                             "doc_b": pd.Series(dtype=np.int64),
-                             "hamming": pd.Series(dtype=np.int64)})
-    return (df.drop_duplicates(["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        df = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                           "doc_b": pd.Series(dtype=np.int64),
+                           "hamming": pd.Series(dtype=np.int64)})
+    else:
+        df = (df.drop_duplicates(["doc_a", "doc_b"])
+              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    if return_stats:
+        return df, stats
+    return df
 
 
 def simhash_near_pairs(sim_df: pd.DataFrame,

@@ -491,3 +491,30 @@ def test_minhash_hot_bucket_guard(ray_session):
     assert (500, 501) in got
     # nothing from the skipped bucket leaks through as a marker row
     assert (pairs["doc_a"] >= 0).all()
+
+
+def test_simhash_hot_bucket_guard(ray_session):
+    """SimHash sibling of the MinHash guard: a degenerate 16-bit chunk
+    bucket (500 near-identical docs) must be skipped — no O(|bucket|²)
+    triu materialization — while honest near-dups still verify."""
+    import ray.data
+    from asserts_otel_processor_ray.stages.dedup import (
+        simhash_pairs_distributed)
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    texts = [boiler + f"tail{i % 2}" for i in range(500)]
+    honest = ("unique vocabulary about distributed query planners "
+              "and arrow kernels streaming shuffles " * 3)
+    texts += [honest, honest + " suffix"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts}))
+    pairs, stats = simhash_pairs_distributed(
+        docs, max_hamming=3, return_stats=True)
+    assert stats["skipped_buckets"] >= 1
+    assert stats["max_skipped_size"] > 256
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (500, 501) in got
+    assert (pairs["doc_a"] >= 0).all()
+    # uncapped run on the same input finds a superset (guard only skips)
+    full = simhash_pairs_distributed(docs, max_hamming=3, max_bucket=None)
+    assert got <= set(zip(full["doc_a"], full["doc_b"]))
