@@ -409,36 +409,98 @@ def near_dup_pairs_exact(ds: "ray.data.Dataset",
             .reset_index(drop=True))
 
 
-def _near_dup_verify_bucket(group: pd.DataFrame,
-                            threshold: float) -> pd.DataFrame:
-    """Per-bucket body: exact float64 cosine over the bucket's vectors."""
-    empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                          "vec_b": pd.Series(dtype=np.int64)})
-    if len(group) < 2:
-        return empty
-    g = group.drop_duplicates("vec_id").sort_values("vec_id")
-    ids = g["vec_id"].to_numpy().astype(np.int64)
-    m = _normalize(np.stack([np.asarray(e, dtype=np.float64)
-                             for e in g["embedding"]]))
-    sims = m @ m.T
+_EMPTY_VEC_PAIRS = {"vec_a": pd.Series(dtype=np.int64),
+                    "vec_b": pd.Series(dtype=np.int64)}
+
+# Hot-bucket guard for the banded near-dup path — same role (and
+# default) as dedup.DEFAULT_MAX_BUCKET: a degenerate band bucket must
+# not emit O(|bucket|²) candidate pairs from one task.
+DEFAULT_MAX_BUCKET = 256
+
+
+def _near_dup_candidates_bucket(group: pd.DataFrame, max_bucket: int | None,
+                                bits_per_band: int) -> pd.DataFrame:
+    """Per-bucket body: emit candidate ID pairs (no embeddings, no
+    cosines — verification happens after the join gathers vectors).
+    Oversize buckets emit a marker row: vec_a = a bucket-unique
+    negative key (so the cross-band pair dedup can't collapse two
+    distinct hot buckets), vec_b = |bucket|."""
+    ids = np.unique(group["vec_id"].to_numpy().astype(np.int64))
+    if len(ids) < 2:
+        return pd.DataFrame(_EMPTY_VEC_PAIRS)
+    if max_bucket is not None and len(ids) > max_bucket:
+        bkey = (int(group["band_id"].iloc[0]) << bits_per_band) \
+            | int(group["band_hash"].iloc[0])
+        return pd.DataFrame({"vec_a": [np.int64(-1 - bkey)],
+                             "vec_b": [np.int64(len(ids))]})
     ii, jj = np.triu_indices(len(ids), k=1)
-    hit = sims[ii, jj] >= threshold
-    if not hit.any():
-        return empty
-    return pd.DataFrame({"vec_a": ids[ii[hit]], "vec_b": ids[jj[hit]]})
+    return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
+
+
+def _tune_multi_shuffle_context(ctx, num_partitions: int,
+                                concurrent_stages: int = 2) -> None:
+    """Size hash-shuffle/join aggregator actors so that
+    ``concurrent_stages`` exchange stages can coexist in ONE streaming
+    plan.  Ray's default reserves up to (cluster_CPUs/2)/partition per
+    aggregator PER STAGE; a plan with two back-to-back exchanges
+    (groupby → keyed repartition, or join → join) then asks for more
+    CPU than the cluster has and the actor pool can deadlock on small
+    clusters (observed: 8-aggregator stage requesting 12.5 CPUs on a
+    4-CPU test cluster, wedged >5 min).  We cap every exchange stage's
+    TOTAL reservation at cluster/(2*concurrent_stages), leaving half
+    the cluster for map tasks; aggregators are concat/memory-bound so
+    under-reserving CPU costs little.  Also pins the groupby
+    parallelism to ``num_partitions`` (the default 200 is wrong at
+    test scale and is re-derived from cluster CPUs at bench scale)."""
+    import ray
+
+    from ray.data.context import ShuffleStrategy
+    try:
+        ncpus = float(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpus = 4.0
+    per_part = max(0.01, ncpus / (2 * concurrent_stages) / num_partitions)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = num_partitions
+    ctx.default_hash_shuffle_parallelism = num_partitions
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = \
+        per_part
+    ctx.join_operator_actor_num_cpus_per_partition_override = per_part
 
 
 def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
-                       dim: int, bands: int = 8,
-                       bits_per_band: int = 2) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs, distributed: hyperplane
-    signatures per batch are split into ``bands`` bands of
-    ``bits_per_band`` bits; ONE groupby((band_id, band_hash)) shuffles
-    (vec_id, embedding) rows ×bands, each bucket verifies exact float64
-    cosine, and the driver dedups the verified (true near-dups only)
-    pairs.  Recall is the standard LSH band tradeoff: a pair colliding
-    on any band is verified; more/wider bands trade shuffle volume for
-    recall (the exact all-pairs oracle is near_dup_pairs_exact)."""
+                       dim: int, bands: int = 16,
+                       bits_per_band: int = 4,
+                       max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                       num_partitions: int | None = None,
+                       return_stats: bool = False):
+    """Embedding-cosine near-duplicate pairs, distributed in three
+    bounded exchanges — embeddings are NEVER duplicated ×bands:
+
+    1. band expand ships (vec_id, band_id, band_hash) — 20-byte rows —
+       through ONE groupby; each bucket emits candidate ID pairs
+       (hot buckets capped + logged, marker-row pattern shared with
+       dedup.verify_block).
+    2. candidate pairs dedup across bands by a hash repartition on the
+       pair key + per-block drop_duplicates (a pair colliding in k
+       bands must be verified once, not k times).
+    3. the deduped pairs gather their two vectors via two native hash
+       joins against the (vec_id, embedding) projection, then a
+       vectorized float64 cosine filter verifies each pair exactly.
+
+    Defaults: 16 bands × 4 bits (the full 64-bit signature).  Wider
+    bands shrink buckets 4× vs the old 8×2 config (bucket ≈ n/16 per
+    band) and cut candidate volume ~30% while keeping measured recall
+    1.0 at the gate data (tests/test_extra_ops.py pins recall vs
+    near_dup_pairs_exact).  Approximate: recall < 1 when a qualifying
+    pair collides in NO band — the standard LSH band tradeoff."""
+    import ray.data  # noqa: F401
+
+    from asserts_otel_processor_ray.stages.topk import (
+        collect_df, default_shuffle_blocks)
+    if num_partitions is None:
+        num_partitions = default_shuffle_blocks()
     lsh = HyperplaneLSH(dim, nbits=bands * bits_per_band)
     mask = np.uint64((1 << bits_per_band) - 1)
 
@@ -447,29 +509,127 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
         sig = lsh.signature(m)
         n = batch.num_rows
         ids = batch.column("vec_id").to_numpy().astype(np.int64)
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
         hashes = np.concatenate([
             ((sig >> np.uint64(b * bits_per_band)) & mask).astype(np.int64)
             for b in range(bands)])
-        pos = np.tile(np.arange(n, dtype=np.int64), bands)
         return pa.table({
             "vec_id": pa.array(np.tile(ids, bands), pa.int64()),
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(hashes, pa.int64()),
-            "embedding": emb.take(pa.array(pos)),
         })
 
     banded = ds.map_batches(band_expand, batch_format="pyarrow")
-    out = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _near_dup_verify_bucket(g, threshold),
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _near_dup_candidates_bucket(g, max_bucket,
+                                              bits_per_band),
         batch_format="pandas")
-    from asserts_otel_processor_ray.stages.topk import collect_df
-    df = collect_df(out)
+
+    def _dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY_VEC_PAIRS)
+        return df.drop_duplicates(["vec_a", "vec_b"])
+
+    _tune_multi_shuffle_context(cand.context, num_partitions)
+    # materialized once: both the verify-join chain and the marker
+    # accounting below consume it (lazy re-execution would re-run the
+    # whole band shuffle twice)
+    deduped = cand.repartition(num_blocks=num_partitions,
+                               keys=["vec_a", "vec_b"]) \
+        .map_batches(_dedup_block, batch_format="pandas",
+                     batch_size=None).materialize()
+
+    # marker accounting up front: hot-bucket markers (negative vec_a)
+    # must not enter the verify joins, and a marker-only result (every
+    # bucket over the cap) would hand Ray's join operator zero-row
+    # inputs whose empty partitions build ZERO-COLUMN tables inside
+    # the aggregator — Acero then rejects the key FieldRef.  Split
+    # them out and skip the join chain when no real pairs survive.
+    stats = {"skipped_buckets": 0, "max_skipped_size": 0}
+    mdf = collect_df(deduped.map_batches(
+        lambda d: d[d["vec_a"] < 0], batch_format="pandas"))
+    if not mdf.empty:
+        stats = {"skipped_buckets": int(len(mdf)),
+                 "max_skipped_size": int(mdf["vec_b"].max())}
+        import logging
+        logging.getLogger(__name__).warning(
+            "embedding near-dup LSH: skipped %d hot bucket(s) over "
+            "max_bucket=%s (largest: %d vectors)",
+            stats["skipped_buckets"], max_bucket,
+            stats["max_skipped_size"])
+    real = deduped.map_batches(lambda d: d[d["vec_a"] >= 0],
+                               batch_format="pandas")
+    if real.count() == 0:
+        empty_df = pd.DataFrame(_EMPTY_VEC_PAIRS)
+        return (empty_df, stats) if return_stats else empty_df
+
+    # Acero hash joins reject list<float> payload columns, so the join
+    # side carries the embedding as fixed-size binary (zero-copy pack
+    # from the list values; zero-copy unpack in the verify stage)
+    def _pack(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float32, copy=False)
+        fsb = pa.Array.from_buffers(
+            pa.binary(dim * 4), len(arr),
+            [None, pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+        return pa.table({"vec_id": t.column("vec_id"), "emb": fsb})
+
+    def _unpack(col) -> np.ndarray:
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        data = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+        lo = arr.offset * dim
+        return data[lo:lo + len(arr) * dim].astype(np.float64) \
+            .reshape(-1, dim)
+
+    emb = ds.map_batches(_pack, batch_format="pyarrow")
+    _tune_multi_shuffle_context(emb.context, num_partitions)
+    _tune_multi_shuffle_context(real.context, num_partitions)
+    j1 = real.join(emb, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("vec_a",), right_on=("vec_id",))
+
+    def _rename_a(t: pa.Table) -> pa.Table:
+        # ray's join drops the right key column; only the payload
+        # column needs renaming before the second join
+        if "vec_id" in t.schema.names:
+            t = t.drop_columns(["vec_id"])
+        names = ["emb_a" if c == "emb" else c for c in t.schema.names]
+        return t.rename_columns(names)
+
+    j1 = j1.map_batches(_rename_a, batch_format="pyarrow")
+    j2 = j1.join(emb, join_type="inner", num_partitions=num_partitions,
+                 on=("vec_b",), right_on=("vec_id",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ea = _unpack(t.column("emb_a"))
+        eb = _unpack(t.column("emb"))
+        cos = np.einsum("ij,ij->i", _normalize(ea), _normalize(eb))
+        hit = cos >= threshold
+        if not hit.any():
+            return empty
+        return pa.table({
+            "vec_a": pa.array(
+                t.column("vec_a").to_numpy()[hit].astype(np.int64),
+                pa.int64()),
+            "vec_b": pa.array(
+                t.column("vec_b").to_numpy()[hit].astype(np.int64),
+                pa.int64()),
+        })
+
+    df = collect_df(j2.map_batches(_verify, batch_format="pyarrow"))
     if df.empty:
-        return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                             "vec_b": pd.Series(dtype=np.int64)})
-    return (df.drop_duplicates().sort_values(["vec_a", "vec_b"])
-            .reset_index(drop=True))
+        df = pd.DataFrame(_EMPTY_VEC_PAIRS)
+    else:
+        df = (df.drop_duplicates().sort_values(["vec_a", "vec_b"])
+              .reset_index(drop=True))
+    if return_stats:
+        return df, stats
+    return df

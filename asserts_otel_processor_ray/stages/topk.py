@@ -38,6 +38,19 @@ import ray.data
 PAIR_SEP = "\x1f"
 
 
+def default_shuffle_blocks(floor: int = 8) -> int:
+    """Hash-repartition width derived from cluster CPUs (1× CPUs, with
+    a small-cluster floor).  The extras' shuffle stages take this as
+    their default so a wider cluster automatically gets wider
+    exchanges — a fixed width is a per-block memory ceiling at scale
+    (each partition is processed as ONE block by the block kernels)."""
+    try:
+        ncpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:
+        ncpus = floor
+    return max(floor, ncpus)
+
+
 def collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Materialize a (small, pre-reduced) dataset to a driver DataFrame."""
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]

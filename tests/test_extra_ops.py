@@ -518,3 +518,28 @@ def test_simhash_hot_bucket_guard(ray_session):
     # uncapped run on the same input finds a superset (guard only skips)
     full = simhash_pairs_distributed(docs, max_hamming=3, max_bucket=None)
     assert got <= set(zip(full["doc_a"], full["doc_b"]))
+
+
+def test_embedding_near_dup_recall_and_guard(ray_session):
+    """The banded near-dup path (ids-only shuffle + join-gathered
+    verify) must match the exact all-pairs result at the gate data
+    (recall 1.0 with 16 bands x 4 bits on this seed), and its
+    hot-bucket guard must skip-and-log rather than blow up."""
+    import ray.data
+    from asserts_otel_processor_ray.stages.similarity import (
+        embedding_near_dup, near_dup_pairs_exact)
+    ds = ray.data.read_parquet(SF + "/embeddings.parquet")
+    exact = near_dup_pairs_exact(ds, threshold=0.45)
+    got, stats = embedding_near_dup(ds, threshold=0.45, dim=64,
+                                    return_stats=True)
+    assert stats["skipped_buckets"] == 0
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs == exact_pairs  # recall 1.0 AND no false positives
+    # degenerate-cap run: buckets over the cap are skipped and counted,
+    # the surviving output is a subset
+    capped, cstats = embedding_near_dup(ds, threshold=0.45, dim=64,
+                                        max_bucket=8, return_stats=True)
+    assert cstats["skipped_buckets"] > 0
+    assert cstats["max_skipped_size"] > 8
+    assert set(zip(capped["vec_a"], capped["vec_b"])) <= got_pairs
