@@ -431,6 +431,29 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_ann_ivf_indexed(sf_dir: str) -> pa.Table:
+    """ANN top-k over the IVF LAYOUT: ``ivf_build`` writes vectors as
+    hive-partitioned parquet (one ``list_id=<n>/`` directory per list,
+    scratch under /tmp) and the query reads ONLY the probed lists'
+    directories — unprobed lists never leave storage.  Same seeded
+    centroids and probing as e_ann_ivf, so the result (and its oracle)
+    is identical; the two entries together pin that partition-pruned
+    reads lose nothing."""
+    import tempfile
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pa.compute.less(tbl.column("vec_id"), 10)
+    qt = tbl.filter(qmask)
+    qids = qt.column("vec_id").to_numpy()
+    dim = len(qt.column("embedding")[0])
+    with tempfile.TemporaryDirectory(prefix="ivf_idx_") as td:
+        S.ivf_build(_emb(sf_dir), dim, td + "/idx")
+        df = S.ann_topk_ivf(None, S._matrix(qt), qids, k=5, dim=dim,
+                            exclude_ids=frozenset(int(i) for i in qids),
+                            index_path=td + "/idx")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 class _KnnLabelStage:
     def __init__(self, train_ref):
         import ray as _ray
@@ -656,6 +679,7 @@ EXTRA_QUERIES = {
     "e_ann_topk": q_ann_topk,
     "e_ann_lsh": q_ann_lsh,
     "e_ann_ivf": q_ann_ivf,
+    "e_ann_ivf_indexed": q_ann_ivf_indexed,
     "e_knn_label": q_knn_label,
     "e_embedding_near_dup": q_embedding_near_dup,
     "e_lsh_buckets": q_lsh_buckets,
@@ -1220,6 +1244,7 @@ FROM l ASOF LEFT JOIN r
     "e_lsh_buckets": _lsh_buckets_sql(),
     "e_ann_lsh": _ann_lsh_sql(),
     "e_ann_ivf": _ann_ivf_sql(),
+    "e_ann_ivf_indexed": _ann_ivf_sql(),
     "m_media_features": """
 SELECT doc_id AS media_id, 'image' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,

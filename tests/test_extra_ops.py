@@ -347,7 +347,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_doc_freq", "d_tfidf_top",
            "d_fingerprint", "d_simhash",
            "d_simhash_pairs", "d_minhash_pairs", "e_ann_topk",
-           "e_ann_lsh", "e_ann_ivf", "e_lsh_buckets", "e_knn_label",
+           "e_ann_lsh", "e_ann_ivf", "e_ann_ivf_indexed",
+           "e_lsh_buckets", "e_knn_label",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "g_sample_hash", "g_quantiles",
            "g_asof_join", "m_media_features", "m_frame_sample",
@@ -543,3 +544,63 @@ def test_embedding_near_dup_recall_and_guard(ray_session):
     assert cstats["skipped_buckets"] > 0
     assert cstats["max_skipped_size"] > 8
     assert set(zip(capped["vec_a"], capped["vec_b"])) <= got_pairs
+
+
+def test_ann_gather_matches_full(ray_session, monkeypatch):
+    """The candidate-column gather path (taken when candidates are
+    sparse) must return exactly the same (query_id, neighbor_id, rank)
+    frame as the full-matmul+mask path — same float64 dot products per
+    pair, so identical ranks (VERDICT r4 item 1)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    import asserts_otel_processor_ray.stages.similarity as S
+    tbl = pq.read_table(SF + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = tbl.filter(pa.compute.less(tbl.column("vec_id"), 3))
+    qids = qt.column("vec_id").to_numpy()
+    qm = S._matrix(qt)
+    dim = qm.shape[1]
+    ds = ray.data.read_parquet(SF + "/embeddings.parquet")
+    ex = frozenset(int(i) for i in qids)
+    # few queries -> sparse candidate columns -> gather path
+    monkeypatch.setattr(S, "GATHER_MAX_DENSITY", 1.0)
+    g_lsh = S.ann_topk_lsh(ds, qm, qids, k=5, dim=dim, exclude_ids=ex)
+    g_ivf = S.ann_topk_ivf(ds, qm, qids, k=5, dim=dim, exclude_ids=ex)
+    monkeypatch.setattr(S, "GATHER_MAX_DENSITY", 0.0)  # force full path
+    f_lsh = S.ann_topk_lsh(ds, qm, qids, k=5, dim=dim, exclude_ids=ex)
+    f_ivf = S.ann_topk_ivf(ds, qm, qids, k=5, dim=dim, exclude_ids=ex)
+    pd.testing.assert_frame_equal(g_lsh, f_lsh)
+    pd.testing.assert_frame_equal(g_ivf, f_ivf)
+    assert len(g_lsh) > 0 and len(g_ivf) > 0
+
+
+def test_ivf_indexed_matches_flat(ray_session, tmp_path):
+    """ann_topk_ivf over an ivf_build layout (reading ONLY probed list
+    directories) must equal the index-free path, and the layout must be
+    one hive directory per list with the lid column preserved."""
+    import os
+    import pyarrow.parquet as pq
+    import ray.data
+    import asserts_otel_processor_ray.stages.similarity as S
+    tbl = pq.read_table(SF + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = tbl.filter(pa.compute.less(tbl.column("vec_id"), 10))
+    qids = qt.column("vec_id").to_numpy()
+    qm = S._matrix(qt)
+    dim = qm.shape[1]
+    ds = ray.data.read_parquet(SF + "/embeddings.parquet")
+    ex = frozenset(int(i) for i in qids)
+    flat = S.ann_topk_ivf(ds, qm, qids, k=5, dim=dim, exclude_ids=ex)
+    idx = str(tmp_path / "idx")
+    S.ivf_build(ds, dim, idx)
+    dirs = sorted(os.listdir(idx))
+    assert all(d.startswith("list_id=") for d in dirs)
+    indexed = S.ann_topk_ivf(None, qm, qids, k=5, dim=dim,
+                             exclude_ids=ex, index_path=idx)
+    pd.testing.assert_frame_equal(indexed, flat)
+    # nprobe=2: fewer lists probed -> fewer directories read; results
+    # stay a valid top-k (subset semantics not asserted — recall is
+    # covered by test_ann_ivf_kmeans_recall_vs_exact)
+    narrow = S.ann_topk_ivf(None, qm, qids, k=5, dim=dim,
+                            exclude_ids=ex, index_path=idx, nprobe=2)
+    assert len(narrow) > 0
