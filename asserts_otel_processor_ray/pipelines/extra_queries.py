@@ -24,7 +24,8 @@ from asserts_otel_processor_ray.stages import dedup as D
 from asserts_otel_processor_ray.stages import events as E
 from asserts_otel_processor_ray.stages import similarity as S
 from asserts_otel_processor_ray.stages import text_analysis as T
-from asserts_otel_processor_ray.stages.topk import collect_df
+from asserts_otel_processor_ray.stages.topk import (collect_df,
+                                                    default_shuffle_blocks)
 
 STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
@@ -174,8 +175,11 @@ def q_doc_freq(sf_dir: str) -> pa.Table:
     part = _docs(sf_dir).map_batches(T.doc_freq_partial,
                                      batch_format="pyarrow")
     agg = part.groupby("token").aggregate(Sum("partial_df"))
+    # empty aggregate blocks can carry a different column count — rename
+    # only the real 2-column blocks (same guard as q_quantiles)
     agg = agg.map_batches(
-        lambda t: t.rename_columns(["token", "doc_freq"]),
+        lambda t: (t.rename_columns(["token", "doc_freq"])
+                   if t.num_columns == 2 else t),
         batch_format="pyarrow")
     topped = agg.map_batches(_doc_freq_top_block, batch_format="pandas")
     out = _doc_freq_top_block(collect_df(topped)).reset_index(drop=True)
@@ -204,9 +208,10 @@ def q_asof_join(sf_dir: str) -> pa.Table:
     the DuckDB ASOF JOIN oracle sees the same deduped right side)."""
     ds = _events(sf_dir)
     from ray.data.context import ShuffleStrategy
+    nparts = default_shuffle_blocks()
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = 8
-    parted = ds.repartition(num_blocks=8, keys=["user_id"])
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
     out = parted.map_batches(E.asof_join_block, batch_format="pyarrow",
                              batch_size=None)
     df = collect_df(out)
@@ -495,9 +500,10 @@ def q_knn_label(sf_dir: str) -> pa.Table:
 def q_sessionize(sf_dir: str) -> pa.Table:
     ds = _events(sf_dir)
     from ray.data.context import ShuffleStrategy
+    nparts = default_shuffle_blocks()
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = 8
-    parted = ds.repartition(num_blocks=8, keys=["user_id"])
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
     out = parted.map_batches(E.sessionize_batch, batch_format="pyarrow",
                              batch_size=None)
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
@@ -604,9 +610,10 @@ def q_nation_orders(sf_dir: str) -> pa.Table:
                                    columns=["o_custkey", "o_totalprice"])
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
+    nparts = default_shuffle_blocks()
     orders.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    orders.context.max_hash_shuffle_aggregators = 8
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    orders.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    joined = orders.join(cust, join_type="inner", num_partitions=nparts,
                          on=("o_custkey",), right_on=("c_custkey",))
     nt = pq.read_table(f"{sf_dir}/nation.parquet",
                        columns=["n_nationkey", "n_name"])

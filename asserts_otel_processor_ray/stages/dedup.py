@@ -313,7 +313,8 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
                               rows: int = 4, w: int = 3,
                               threshold: float = 0.5,
                               max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                              return_stats: bool = False):
+                              return_stats: bool = False,
+                              num_partitions: int | None = None):
     """MinHash+LSH near-dup pairs as a real shuffle: band-expand per
     batch, ONE groupby((band_id, band_hash)) moving signatures+shingle
     lists (not documents), exact Jaccard verify inside each bucket, and
@@ -367,10 +368,14 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
 
     from ray.data.context import ShuffleStrategy
 
-    from asserts_otel_processor_ray.stages.topk import collect_df
+    from asserts_otel_processor_ray.stages.topk import (
+        collect_df, default_shuffle_blocks)
+    if num_partitions is None:
+        num_partitions = default_shuffle_blocks()
     banded.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    banded.context.max_hash_shuffle_aggregators = 8
-    parted = banded.repartition(num_blocks=16,
+    banded.context.max_hash_shuffle_aggregators = max(
+        8, num_partitions // 4)
+    parted = banded.repartition(num_blocks=num_partitions,
                                 keys=["band_id", "band_hash"])
     out = parted.map_batches(verify_block, batch_format="pandas",
                              batch_size=None)
@@ -479,6 +484,18 @@ def _ngram_pack_pk(t: pa.Table) -> pa.Table:
     negative), so the pair reduce shuffles on a single integer key."""
     da = t.column("doc_a").to_numpy()
     db = t.column("doc_b").to_numpy()
+    # packing precondition (not just a comment): ids >= 2^31 would
+    # silently collide pair keys, and doc_b >= 2^31 would break the
+    # pk<0 marker convention.  Marker rows are (-1, -1); real rows
+    # must be 0 <= id < 2^31.
+    real = da >= 0
+    if real.any() and (int(da[real].max()) >= _PK_BASE
+                       or int(db[real].max()) >= _PK_BASE
+                       or int(db[real].min()) < 0):
+        raise ValueError(
+            "ngram pair packing requires 0 <= doc ids < 2^31; "
+            "got ids outside the packable range — widen _PK_BASE "
+            "or switch the pair key to a struct")
     return pa.table({
         "pk": pa.array(da * _PK_BASE + db, pa.int64()),
         "sa": t.column("sa"), "sb": t.column("sb"),
@@ -530,7 +547,8 @@ def _ngram_reduce_block(df: pd.DataFrame,
 def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
                               threshold: float = NGRAM_THRESHOLD,
                               max_df: int = NGRAM_MAX_DF,
-                              num_partitions: int = 16) -> pd.DataFrame:
+                              num_partitions: int | None = None
+                              ) -> pd.DataFrame:
     """Exact char-n-gram Jaccard near-dup pairs via the inverted-index
     shuffle: batch → distinct (doc, gram, size) long rows → hash
     repartition by gram → per-block pair partials (posting lists are
@@ -550,12 +568,16 @@ def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
     the SQL oracle applies the identical rule)."""
     from ray.data.context import ShuffleStrategy
 
-    from asserts_otel_processor_ray.stages.topk import collect_df
+    from asserts_otel_processor_ray.stages.topk import (
+        collect_df, default_shuffle_blocks)
+    if num_partitions is None:
+        num_partitions = default_shuffle_blocks()
 
     long = docs.map_batches(lambda t: ngram_long_batch(t, w),
                             batch_format="pyarrow")
     long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    long.context.max_hash_shuffle_aggregators = 8
+    long.context.max_hash_shuffle_aggregators = max(
+        8, num_partitions // 4)
     parted = long.repartition(num_blocks=num_partitions, keys=["h"])
     partials = parted.map_batches(
         lambda d: ngram_pairs_block(d, max_df),

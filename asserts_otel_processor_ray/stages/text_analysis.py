@@ -277,9 +277,11 @@ def char_ngram_hashes(text: pa.ChunkedArray | pa.Array, w: int = 5
     """Rolling polynomial hash over w-character grams of
     trim(lower(text)) — the char-n-gram analog of shingle_hashes.
 
-    Fully vectorized: the batch's normalized strings are joined once
-    and viewed as a uint32 codepoint array (utf-32), so gram hashing is
-    the same native uint64 mod-(2^61-1) window kernel with zero per-row
+    Fully vectorized: the normalized strings already live back-to-back
+    in the Arrow values buffer, so the batch text is read straight out
+    of that buffer (no per-row Python strings, no ``"".join``) and
+    viewed as a uint32 codepoint array (utf-32); gram hashing is the
+    same native uint64 mod-(2^61-1) window kernel with zero per-row
     Python.  Docs shorter than ``w`` chars contribute their whole-string
     hash; empty docs contribute nothing.
 
@@ -288,8 +290,16 @@ def char_ngram_hashes(text: pa.ChunkedArray | pa.Array, w: int = 5
     norm = pc.fill_null(norm, "")
     lens = pc.utf8_length(norm).to_numpy(zero_copy_only=False).astype(
         np.int64)
-    joined = "".join(norm.to_pylist())
-    cp = np.frombuffer(joined.encode("utf-32-le"),
+    arr = (norm.combine_chunks() if isinstance(norm, pa.ChunkedArray)
+           else norm)
+    odt = (np.int64 if pa.types.is_large_string(arr.type) else np.int32)
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset:arr.offset + len(arr) + 1]
+    raw = memoryview(arr.buffers()[2])[int(offs[0]):int(offs[-1])] \
+        if len(offs) else b""
+    # utf-8 values buffer → one codepoint array for the whole batch
+    # (decoding the concatenation == concatenating the decodings)
+    cp = np.frombuffer(bytes(raw).decode("utf-8").encode("utf-32-le"),
                        dtype="<u4").astype(np.uint64)
     doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     return _rolling_poly(cp, doc_of, lens, w)
