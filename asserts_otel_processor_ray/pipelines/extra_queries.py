@@ -283,8 +283,10 @@ def q_dedup_clusters(sf_dir: str) -> pa.Table:
 
 class _TfidfStage:
     """Actor-pool stage: per-doc top-3 tokens by tf·(N/df) against the
-    broadcast vocabulary df table (bounded by the vocabulary, shipped
-    once via ray.put)."""
+    broadcast vocabulary df slice (ONLY tokens with df >= TFIDF_MIN_DF
+    are shipped; a token absent from the slice has df == 1 by
+    construction, so the reconstruction is exact — the min-df filter
+    bounds the driver/broadcast without approximating)."""
 
     def __init__(self, ref):
         import ray as _ray
@@ -300,7 +302,8 @@ class _TfidfStage:
                             "t": ex.to_numpy()})
               .groupby(["d", "t"], sort=False).size()
               .reset_index(name="tf"))
-        dfv = tf["t"].map(self.df_map).to_numpy().astype(np.int64)
+        dfv = (tf["t"].map(self.df_map).fillna(1)  # missing ⇒ df == 1
+               .to_numpy().astype(np.int64))
         score = ((tf["tf"].to_numpy().astype(np.int64) * self.n_docs)
                  .astype(np.float64) / dfv.astype(np.float64))
         tf["doc_freq"] = dfv
@@ -321,25 +324,89 @@ class _TfidfStage:
         })
 
 
-def q_tfidf_top(sf_dir: str) -> pa.Table:
+# broadcast-path bounds: only tokens with df >= TFIDF_MIN_DF ship to
+# the driver/actors (df==1 is reconstructed exactly — see _TfidfStage),
+# and if even that slice exceeds the budget the query switches to the
+# fully distributed token-join path (no driver-held vocabulary at all).
+TFIDF_MIN_DF = 2
+TFIDF_BROADCAST_BUDGET = 2_000_000
+
+
+def _tfidf_top_block(df: pd.DataFrame, n_docs: int) -> pd.DataFrame:
+    """Per-block top-3 kernel over (doc_id, token, tf, doc_freq) rows —
+    block-local because the rows were hash-repartitioned by doc_id."""
+    cols = ["doc_id", "token", "tf", "doc_freq", "rank"]
+    if df.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "token": pd.Series(dtype=object),
+            "tf": pd.Series(dtype=np.int64),
+            "doc_freq": pd.Series(dtype=np.int64),
+            "rank": pd.Series(dtype=np.int64)})
+    score = (df["tf"].to_numpy().astype(np.int64) * n_docs).astype(
+        np.float64) / df["doc_freq"].to_numpy().astype(np.float64)
+    d = df.assign(score=score).sort_values(
+        ["doc_id", "score", "token"], ascending=[True, False, True],
+        kind="mergesort")
+    rank = d.groupby("doc_id", sort=False).cumcount() + 1
+    keep = d[rank <= 3].assign(rank=rank[rank <= 3])
+    return keep[cols].reset_index(drop=True)
+
+
+def _tfidf_join_path(docs, dfds, n_docs: int) -> pa.Table:
+    """Fully distributed tf-idf: (doc, token, tf) long rows join the
+    vocabulary df table by token (both sides shuffle — NO driver- or
+    broadcast-held vocabulary), then ONE hash repartition by doc_id and
+    a per-block top-3 kernel.  The scale path beyond
+    TFIDF_BROADCAST_BUDGET; identical output to the broadcast path."""
+    from ray.data.context import ShuffleStrategy
+    nparts = default_shuffle_blocks()
+    long = docs.map_batches(T.tf_long_batch, batch_format="pyarrow")
+    long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    long.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    joined = long.join(dfds, join_type="inner", num_partitions=nparts,
+                       on=("token",))
+    parted = joined.repartition(num_blocks=nparts, keys=["doc_id"])
+    out = parted.map_batches(lambda d: _tfidf_top_block(d, n_docs),
+                             batch_format="pandas", batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def tfidf_top(docs, broadcast_budget: int = TFIDF_BROADCAST_BUDGET
+              ) -> pa.Table:
     """Per-doc top-3 tokens by tf·(N/df) — a multiplicative-idf tf-idf
     (no transcendental log, so the SQL oracle is IEEE-exact).  The df
     table comes from the same distributed vocabulary aggregate as
-    d_doc_freq and broadcasts once; scoring/ranking is vectorized per
-    batch.  Output is integer/rank-only (ties → token asc)."""
+    d_doc_freq; the driver/broadcast holds at most ``broadcast_budget``
+    rows of it (min-df filtered, df==1 reconstructed), else the fully
+    distributed join path runs.  Output is integer/rank-only (ties →
+    token asc)."""
     from ray.data.aggregate import Sum
-    part = _docs(sf_dir).map_batches(T.doc_freq_partial,
-                                     batch_format="pyarrow")
-    agg = part.groupby("token").aggregate(Sum("partial_df"))
-    dfd = collect_df(agg)
-    dfd.columns = ["token", "doc_freq"]
-    n_docs = int(_docs(sf_dir).count())
-    ref = ray.put({"df": dfd.set_index("token")["doc_freq"],
-                   "n_docs": n_docs})
-    out = _docs(sf_dir).map_batches(_TfidfStage, fn_constructor_args=(ref,),
-                                    batch_format="pyarrow",
-                                    concurrency=(1, 4))
+    part = docs.map_batches(T.doc_freq_partial, batch_format="pyarrow")
+    agg = part.groupby("token").aggregate(Sum("partial_df")).map_batches(
+        lambda t: (t.rename_columns(["token", "doc_freq"])
+                   if t.num_columns == 2 else t),
+        batch_format="pyarrow").materialize()
+    n_docs = int(docs.count())
+    kept = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(
+            t.column("doc_freq"), TFIDF_MIN_DF)),
+        batch_format="pyarrow")
+    if int(kept.count()) > broadcast_budget:
+        return _tfidf_join_path(docs, agg, n_docs)
+    dfd = collect_df(kept)
+    assert len(dfd) <= broadcast_budget  # the driver-held-rows pin
+    df_map = (dfd.set_index("token")["doc_freq"] if not dfd.empty
+              else pd.Series(dtype=np.int64))  # all-hapax corpus
+    ref = ray.put({"df": df_map, "n_docs": n_docs})
+    out = docs.map_batches(_TfidfStage, fn_constructor_args=(ref,),
+                           batch_format="pyarrow",
+                           concurrency=(1, 4))
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_tfidf_top(sf_dir: str) -> pa.Table:
+    return tfidf_top(_docs(sf_dir))
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:

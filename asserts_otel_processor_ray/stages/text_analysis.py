@@ -344,6 +344,23 @@ def doc_freq_partial(batch: pa.Table) -> pa.Table:
     })
 
 
+def tf_long_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, token, tf) long rows — exact term frequency
+    per document (documents never span batches, so per-batch counting
+    is exact).  Feeds the distributed tf-idf join path."""
+    doc_id = batch.column("doc_id").to_numpy()
+    toks = _tokens_series(batch.column("text"))
+    ex = toks.explode()
+    tf = (pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+          .groupby(["d", "t"], sort=False).size()  # NaN (empty doc) drops
+          .reset_index(name="tf"))
+    return pa.table({
+        "doc_id": pa.array(doc_id[tf["d"].to_numpy()], pa.int64()),
+        "token": pa.array(tf["t"].to_numpy(), pa.string()),
+        "tf": pa.array(tf["tf"].to_numpy().astype(np.int64), pa.int64()),
+    })
+
+
 def fingerprint_batch(batch: pa.Table, w: int = 3,
                       cache: dict | None = None) -> pa.Table:
     """Document fingerprint = min rolling-hash shingle (winnowing-style,

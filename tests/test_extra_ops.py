@@ -604,3 +604,46 @@ def test_ivf_indexed_matches_flat(ray_session, tmp_path):
     narrow = S.ann_topk_ivf(None, qm, qids, k=5, dim=dim,
                             exclude_ids=ex, index_path=idx, nprobe=2)
     assert len(narrow) > 0
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    """tf-idf's fully distributed token-join path (the beyond-budget
+    scale path) must equal the bounded-broadcast path exactly."""
+    import ray
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        tfidf_top)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = _norm(tfidf_top(docs).to_pandas())
+    b = _norm(tfidf_top(docs, broadcast_budget=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tfidf_min_df_reconstruction(ray_session):
+    """Hapax tokens (df == 1) are EXCLUDED from the broadcast slice and
+    reconstructed exactly as df=1 at scoring time; a budget equal to
+    the df>=2 vocabulary size therefore suffices, and both paths score
+    hapax-bearing docs identically."""
+    import ray
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        tfidf_top)
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["alpha beta gamma", "alpha beta", "alpha unique1",
+                 "beta unique2 unique2", "gamma gamma alpha",
+                 "unique3 alpha beta"],
+    })
+    docs = ray.data.from_pandas(df).repartition(3)
+    # df>=2 vocabulary = {alpha(6), beta(4), gamma(2)} → budget 3 keeps
+    # the broadcast path; unique1/2/3 must come back with doc_freq 1
+    a = tfidf_top(docs, broadcast_budget=3).to_pandas()
+    hapax = a[a["token"].str.startswith("unique")]
+    assert set(hapax["token"]) == {"unique1", "unique2", "unique3"}
+    assert (hapax["doc_freq"] == 1).all()
+    # hapaxes beat common tokens within their doc: tf*N/1 is maximal
+    assert (hapax["rank"] == 1).all()
+    b = tfidf_top(docs, broadcast_budget=0).to_pandas()  # join path
+    pd.testing.assert_frame_equal(_norm(a), _norm(b), check_dtype=False)
+    # over-tight budget below the df>=2 slice also switches paths
+    c = tfidf_top(docs, broadcast_budget=2).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(c), check_dtype=False)
