@@ -252,14 +252,36 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
-def q_dedup_clusters(sf_dir: str) -> pa.Table:
+# above this many near-dup pairs the driver union-find gives way to
+# the distributed hash-to-min connected components (boilerplate-heavy
+# web corpora can make |pairs| large even though it is bounded by true
+# near-dups)
+DEDUP_PAIR_BUDGET = 5_000_000
+
+
+def dedup_clusters(docs, pair_budget: int = DEDUP_PAIR_BUDGET
+                   ) -> pa.Table:
     """End-to-end dedup: near-dup pairs (the distributed MinHash-LSH
     band-groupby pipeline with exact Jaccard verify) → connected
-    components → (doc_id, cluster_id=min doc of the component).  The
-    union-find runs on the COLLECTED pair set, which is bounded by
-    true near-dups (|pairs| ≪ |docs| — the same boundedness the pair
-    queries rely on); dedup = keep each cluster's min doc."""
-    pairs = D.minhash_pairs_distributed(_docs(sf_dir), threshold=0.5)
+    components → (doc_id, cluster_id=min doc of the component); dedup =
+    keep each cluster's min doc.  Up to ``pair_budget`` pairs the
+    union-find runs on the collected pair set; beyond it the pairs stay
+    distributed and D.connected_components_distributed (hash-to-min
+    label propagation with pointer jumping) produces the identical
+    labeling — the driver then only ever holds the final (doc, cluster)
+    answer, never the pair set."""
+    pairs_ds = D.minhash_pairs_distributed(
+        docs, threshold=0.5, collect=False).materialize()
+    if int(pairs_ds.count()) > pair_budget:
+        cc = D.connected_components_distributed(pairs_ds)
+        cc = cc.sort_values("node", ignore_index=True)
+        return pa.table({
+            "doc_id": pa.array(cc["node"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(cc["label"].to_numpy(), pa.int64()),
+        })
+    pairs = collect_df(pairs_ds)
+    if pairs.empty:
+        pairs = pd.DataFrame(D._EMPTY_PAIRS)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -279,6 +301,10 @@ def q_dedup_clusters(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([int(n) for n in nodes], pa.int64()),
         "cluster_id": pa.array([find(int(n)) for n in nodes], pa.int64()),
     })
+
+
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    return dedup_clusters(_docs(sf_dir))
 
 
 class _TfidfStage:

@@ -314,7 +314,8 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
                               threshold: float = 0.5,
                               max_bucket: int | None = DEFAULT_MAX_BUCKET,
                               return_stats: bool = False,
-                              num_partitions: int | None = None):
+                              num_partitions: int | None = None,
+                              collect: bool = True):
     """MinHash+LSH near-dup pairs as a real shuffle: band-expand per
     batch, ONE groupby((band_id, band_hash)) moving signatures+shingle
     lists (not documents), exact Jaccard verify inside each bucket, and
@@ -324,7 +325,15 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
     buckets; skipped buckets are counted and logged (never silent).
     Pass None to verify everything.  With ``return_stats`` the result is
     (pairs_df, {"skipped_buckets": n, "max_skipped_size": m}).
+
+    With ``collect=False`` the verified pairs stay a ``ray.data.Dataset``
+    (hot-bucket markers stripped and logged per block; band-duplicate
+    pairs NOT deduped — downstream union-find / label propagation is
+    idempotent under duplicate edges) so consumers like the distributed
+    connected-components never pull the pair set to the driver.
     """
+    assert collect or not return_stats, \
+        "return_stats requires the collected (driver) path"
     banded = docs.map_batches(MinHashBandExpand,
                               fn_constructor_args=(k, bands, rows, w),
                               batch_format="pyarrow",
@@ -379,6 +388,20 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
                                 keys=["band_id", "band_hash"])
     out = parted.map_batches(verify_block, batch_format="pandas",
                              batch_size=None)
+    if not collect:
+        def strip_markers(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            skip = df["doc_a"] < 0
+            if skip.any():
+                import logging
+                logging.getLogger(__name__).warning(
+                    "minhash LSH: skipped %d hot bucket(s) over "
+                    "max_bucket=%s (largest: %d docs)", int(skip.sum()),
+                    max_bucket, int(df.loc[skip, "jaccard"].max()))
+                return df[~skip]
+            return df
+        return out.map_batches(strip_markers, batch_format="pandas")
     df = collect_df(out)
     stats = {"skipped_buckets": 0, "max_skipped_size": 0}
     if not df.empty:
@@ -765,3 +788,120 @@ def simhash_near_pairs(sim_df: pd.DataFrame,
     vb = val_of[cand["doc_b"].to_numpy()].to_numpy().astype(np.uint64)
     out = cand.assign(hamming=_popcount64(va ^ vb))
     return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+
+
+# ---- distributed connected components -------------------------------------
+
+def connected_components_distributed(pairs, num_partitions: int | None
+                                     = None, max_iters: int = 50
+                                     ) -> pd.DataFrame:
+    """Connected components over a near-dup pair Dataset via
+    hash-to-min label propagation with pointer jumping — the scale path
+    for dedup clustering beyond the driver pair budget (reference
+    semantics: q_dedup_clusters' union-find; cluster id = component
+    min, Rastogi et al.-style hash-to-min).
+
+    Per round (all engine-pattern primitives, nothing driver-side):
+      * neighbor step: edges ⋈ labels on node (hash join, both sides
+        shuffle) → candidate (nbr, label);
+      * pointer jump: labels ⋈ labels (label → that label's own label)
+        → candidate (node, label-of-label), which squares the
+        propagation reach so a diameter-D component converges in
+        O(log D) rounds, not D;
+      * ONE hash repartition by node + per-block min over the candidate
+        union (the repo's repartition+block-kernel shape).
+
+    Labels start at min(node, min neighbor), only ever decrease, and
+    every label is a member node id, so the fixpoint label is exactly
+    the component min and the (exact, int) label sum is a convergence
+    certificate.  The driver holds only per-round scalar sums; the
+    returned (node, label) frame is O(nodes that appear in any pair) —
+    the same size as the query's answer.  Duplicate edges (e.g. the
+    same pair from several LSH bands) are harmless under min."""
+    from ray.data.context import ShuffleStrategy
+
+    from asserts_otel_processor_ray.stages.topk import (
+        collect_df, default_shuffle_blocks)
+    if num_partitions is None:
+        num_partitions = default_shuffle_blocks()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    edges.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    edges.context.max_hash_shuffle_aggregators = max(
+        8, num_partitions // 4)
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "label": pd.Series(dtype=np.int64)})
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["nbr"].min()
+        return pd.DataFrame({
+            "node": g.index.to_numpy(),
+            "label": np.minimum(g.index.to_numpy(), g.to_numpy())})
+
+    labels = (edges.repartition(num_blocks=num_partitions, keys=["node"])
+              .map_batches(init_labels, batch_format="pandas",
+                           batch_size=None).materialize())
+    prev_sum = int(labels.sum("label"))
+
+    def as_candidate(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("nbr"),
+                         "label": t.column("label")})
+
+    def as_mid_left(t: pa.Table) -> pa.Table:     # (node, mid=label)
+        return pa.table({"node": t.column("node"),
+                         "mid": t.column("label")})
+
+    def as_mid_right(t: pa.Table) -> pa.Table:    # (mid=node, label)
+        return pa.table({"mid": t.column("node"),
+                         "label": t.column("label")})
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "label": pd.Series(dtype=np.int64)})
+        g = df.groupby("node", sort=False)["label"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "label": g.to_numpy()})
+
+    for _ in range(max_iters):
+        nbr_cand = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",)).map_batches(as_candidate,
+                                      batch_format="pyarrow")
+        jump_cand = (labels.map_batches(as_mid_left,
+                                        batch_format="pyarrow")
+                     .join(labels.map_batches(as_mid_right,
+                                              batch_format="pyarrow"),
+                           join_type="inner",
+                           num_partitions=num_partitions, on=("mid",))
+                     .map_batches(lambda t: t.select(["node", "label"]),
+                                  batch_format="pyarrow"))
+        merged = labels.union(nbr_cand).union(jump_cand)
+        merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        merged.context.max_hash_shuffle_aggregators = max(
+            8, num_partitions // 4)
+        labels = (merged.repartition(num_blocks=num_partitions,
+                                     keys=["node"])
+                  .map_batches(block_min, batch_format="pandas",
+                               batch_size=None).materialize())
+        cur = int(labels.sum("label"))
+        if cur == prev_sum:      # labels monotone ⇒ fixpoint reached
+            break
+        prev_sum = cur
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected components: no fixpoint after %d rounds "
+            "(pointer jumping makes this ~2^%d hops of reach) — "
+            "returning the current labeling", max_iters, max_iters)
+    return collect_df(labels)

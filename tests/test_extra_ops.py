@@ -647,3 +647,53 @@ def test_tfidf_min_df_reconstruction(ray_session):
     # over-tight budget below the df>=2 slice also switches paths
     c = tfidf_top(docs, broadcast_budget=2).to_pandas()
     pd.testing.assert_frame_equal(_norm(a), _norm(c), check_dtype=False)
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """Distributed hash-to-min CC must equal the driver union-find on a
+    graph with a LONG chain (diameter 200 ≫ the 50-round budget — only
+    pointer jumping converges), a clique, a disjoint pair, duplicate
+    edges, and non-contiguous ids."""
+    import ray
+    from asserts_otel_processor_ray.stages.dedup import (
+        connected_components_distributed)
+    chain = [(1000 + i, 1000 + i + 1) for i in range(200)]
+    clique = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    extra = [(3, 70000), (3, 70000), (70000, 3)]   # dupes + reversed
+    edges = pd.DataFrame(chain + clique + extra,
+                         columns=["doc_a", "doc_b"]).astype(np.int64)
+    got = (connected_components_distributed(
+        ray.data.from_pandas(edges).repartition(7), num_partitions=5)
+        .sort_values("node", ignore_index=True))
+    # reference union-find (same as the driver path)
+    parent = {}
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        return r
+    for a, b in edges.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(edges["doc_a"]) | set(edges["doc_b"]))
+    want = pd.DataFrame({"node": nodes,
+                         "label": [find(n) for n in nodes]})
+    pd.testing.assert_frame_equal(got, want.astype(np.int64),
+                                  check_dtype=False)
+
+
+def test_dedup_clusters_distributed_path_matches_driver(ray_session):
+    """Forcing the beyond-budget distributed CC path (pair_budget=0)
+    must reproduce the driver union-find clustering bit-for-bit on the
+    real minhash pair pipeline — and the driver never holds the pair
+    set on that path."""
+    import ray
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        dedup_clusters)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = dedup_clusters(docs).to_pandas()
+    b = dedup_clusters(docs, pair_budget=0).to_pandas()
+    assert len(a) > 0          # the sf0.001 corpus has near-dups
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
