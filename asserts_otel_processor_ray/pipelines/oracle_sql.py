@@ -466,7 +466,12 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
     FROM mrows)
   SELECT '{config.env}' AS asserts_env, '{config.site}' AS asserts_site,
     {hist_labels}, le,
-    count(*) AS bucket_count, sum(latency_s) AS latency_sum,
+    count(*) AS bucket_count,
+    -- exact-µs sum, divided once: latency_s is k/1e6 by construction,
+    -- so this is order-independent and bitwise-equal to the engine's
+    -- integer-microsecond partial sums (stages/aggregate.py)
+    CAST(sum(CAST(round(latency_s * 1000000) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 AS latency_sum,
     count(latency_s) AS latency_count
   FROM hrows GROUP BY {hist_labels}, le"""),
     }

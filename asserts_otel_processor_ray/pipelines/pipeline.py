@@ -448,7 +448,7 @@ def _reduce_winhist(tbls: list[pa.Table], config: PipelineConfig,
         from ray.data.aggregate import Sum
         hkeys = ["namespace", "service", "span_kind", "status_code",
                  *histogram_label_columns(config), "le"]
-        hvals = ["bucket_count", "latency_sum", "latency_count"]
+        hvals = ["bucket_count", "latency_sum_us", "latency_count"]
         red = (ds.map_batches(
                    lambda t, hk=hkeys, hv=hvals:
                    _sel(t, "hist").select(hk + hv),

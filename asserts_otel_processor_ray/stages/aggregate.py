@@ -262,7 +262,7 @@ def histogram_partial_fn(config: PipelineConfig,
             empty = {c: pa.nulls(0, pa.string()) for c in keys}
             empty["le"] = pa.nulls(0, pa.float64())
             empty["bucket_count"] = pa.nulls(0, pa.int64())
-            empty["latency_sum"] = pa.nulls(0, pa.float64())
+            empty["latency_sum_us"] = pa.nulls(0, pa.int64())
             empty["latency_count"] = pa.nulls(0, pa.int64())
             return pa.table(empty)
 
@@ -314,7 +314,13 @@ def histogram_partial_fn(config: PipelineConfig,
         nb = len(edges) + 1
         key = sid * nb + bidx
         counts = np.bincount(key, minlength=S * nb)
-        sums = np.bincount(key, weights=lat, minlength=S * nb)
+        # sum in EXACT integer microseconds: latency_s is k/1e6 by
+        # construction (µs timestamp diffs), so rint(lat*1e6) recovers k
+        # bit-exactly and integer partial sums are order-independent —
+        # the final float latency_sum no longer depends on which block a
+        # turn was assembled in (or on DuckDB's aggregation order)
+        lat_us = np.rint(lat * 1e6)
+        sums = np.bincount(key, weights=lat_us, minlength=S * nb)
         nz = np.flatnonzero(counts)
         out_sid = nz // nb
         out_bidx = nz % nb
@@ -330,7 +336,8 @@ def histogram_partial_fn(config: PipelineConfig,
             cols[name] = arr.take(take_idx)
         cols["le"] = pa.array(le, pa.float64())
         cols["bucket_count"] = pa.array(counts[nz], pa.int64())
-        cols["latency_sum"] = pa.array(sums[nz], pa.float64())
+        cols["latency_sum_us"] = pa.array(
+            np.rint(sums[nz]).astype(np.int64), pa.int64())
         cols["latency_count"] = pa.array(counts[nz], pa.int64())
         return pa.table(cols)
     return fn
@@ -369,12 +376,12 @@ def latency_histogram_final_tbl(tbl: "pa.Table | None",
         cols["latency_sum"] = pa.array([], pa.float64())
         cols["latency_count"] = pa.array([], pa.int64())
         return pa.table(cols)
-    tbl = tbl.select(keys + ["bucket_count", "latency_sum",
+    tbl = tbl.select(keys + ["bucket_count", "latency_sum_us",
                              "latency_count"])
     gb = tbl.group_by(keys).aggregate(
-        [("bucket_count", "sum"), ("latency_sum", "sum"),
+        [("bucket_count", "sum"), ("latency_sum_us", "sum"),
          ("latency_count", "sum")])
-    gb = gb.rename_columns(keys + ["bucket_count", "latency_sum",
+    gb = gb.rename_columns(keys + ["bucket_count", "latency_sum_us",
                                    "latency_count"])
     gb = gb.set_column(gb.schema.get_field_index("bucket_count"),
                        "bucket_count",
@@ -382,6 +389,13 @@ def latency_histogram_final_tbl(tbl: "pa.Table | None",
     gb = gb.set_column(gb.schema.get_field_index("latency_count"),
                        "latency_count",
                        gb.column("latency_count").cast(pa.int64()))
+    # partials summed in exact integer µs; divide ONCE here so the
+    # float result is identical regardless of block/merge order
+    us_idx = gb.schema.get_field_index("latency_sum_us")
+    gb = gb.set_column(
+        us_idx, "latency_sum",
+        pa.compute.divide(gb.column("latency_sum_us").cast(pa.float64()),
+                          1_000_000.0))
     # every histogram series carries the env/site labels like the other
     # aggregate tables (metric_helper.go buildLabels: envLabel/siteLabel)
     n = gb.num_rows

@@ -64,7 +64,7 @@ def _mk_winhist_blocks(cfg, window: bool, n_blocks=7, seed=3):
             "status_code": ["OK"] * n_h,
             "le": rng.choice([0.25, 1.0, np.inf], n_h).tolist(),
             "bucket_count": rng.integers(1, 10, n_h).tolist(),
-            "latency_sum": rng.random(n_h).round(4).tolist(),
+            "latency_sum_us": rng.integers(1, 1_000_000, n_h).tolist(),
             "latency_count": rng.integers(1, 10, n_h).tolist(),
         }
         for lc in label_cols:
