@@ -25,7 +25,8 @@ from asserts_otel_processor_ray.stages import events as E
 from asserts_otel_processor_ray.stages import similarity as S
 from asserts_otel_processor_ray.stages import text_analysis as T
 from asserts_otel_processor_ray.stages.topk import (collect_df,
-                                                    default_shuffle_blocks)
+                                                    default_shuffle_blocks,
+                                                    shuffle_width)
 
 STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
@@ -208,7 +209,7 @@ def q_asof_join(sf_dir: str) -> pa.Table:
     the DuckDB ASOF JOIN oracle sees the same deduped right side)."""
     ds = _events(sf_dir)
     from ray.data.context import ShuffleStrategy
-    nparts = default_shuffle_blocks()
+    nparts = shuffle_width(ds.count())   # parquet count: metadata-only
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
     parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
@@ -386,7 +387,9 @@ def _tfidf_join_path(docs, dfds, n_docs: int) -> pa.Table:
     a per-block top-3 kernel.  The scale path beyond
     TFIDF_BROADCAST_BUDGET; identical output to the broadcast path."""
     from ray.data.context import ShuffleStrategy
-    nparts = default_shuffle_blocks()
+    # token long rows ~ docs x avg tokens; the x32 multiplier only has
+    # to be the right order of magnitude for the width clamp
+    nparts = shuffle_width(docs.count() * 32)
     long = docs.map_batches(T.tf_long_batch, batch_format="pyarrow")
     long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     long.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
@@ -593,7 +596,7 @@ def q_knn_label(sf_dir: str) -> pa.Table:
 def q_sessionize(sf_dir: str) -> pa.Table:
     ds = _events(sf_dir)
     from ray.data.context import ShuffleStrategy
-    nparts = default_shuffle_blocks()
+    nparts = shuffle_width(ds.count())   # parquet count: metadata-only
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
     parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
@@ -703,7 +706,7 @@ def q_nation_orders(sf_dir: str) -> pa.Table:
                                    columns=["o_custkey", "o_totalprice"])
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
-    nparts = default_shuffle_blocks()
+    nparts = shuffle_width(orders.count())  # metadata-only count
     orders.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     orders.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
     joined = orders.join(cust, join_type="inner", num_partitions=nparts,

@@ -378,9 +378,11 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
     from ray.data.context import ShuffleStrategy
 
     from asserts_otel_processor_ray.stages.topk import (
-        collect_df, default_shuffle_blocks)
+        collect_df, shuffle_width)
     if num_partitions is None:
-        num_partitions = default_shuffle_blocks()
+        # banded rows = docs x bands (20-byte rows); clamp the width so
+        # tiny corpora don't pay a wide exchange's fixed costs
+        num_partitions = shuffle_width(docs.count() * bands)
     banded.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     banded.context.max_hash_shuffle_aggregators = max(
         8, num_partitions // 4)
@@ -592,9 +594,12 @@ def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
     from ray.data.context import ShuffleStrategy
 
     from asserts_otel_processor_ray.stages.topk import (
-        collect_df, default_shuffle_blocks)
+        collect_df, shuffle_width)
     if num_partitions is None:
-        num_partitions = default_shuffle_blocks()
+        # gram long rows ~ docs x distinct grams/doc; the x64
+        # multiplier only has to be order-of-magnitude right for the
+        # width clamp
+        num_partitions = shuffle_width(docs.count() * 64)
 
     long = docs.map_batches(lambda t: ngram_long_batch(t, w),
                             batch_format="pyarrow")

@@ -548,12 +548,91 @@ def _tune_multi_shuffle_context(ctx, num_partitions: int,
     ctx.join_operator_actor_num_cpus_per_partition_override = per_part
 
 
+# below this many embedding-matrix bytes the near-dup verify gathers
+# from ONE ray.put broadcast matrix inside each bucket (no candidate
+# pair materialization, no join chain — one exchange total); above it
+# the join-gather chain runs (pairs stay distributed end-to-end)
+EMB_BROADCAST_BUDGET_BYTES = 256 * 1024 ** 2
+
+
+def _near_dup_broadcast(ds, banded, threshold: float,
+                        max_bucket: int | None, bits_per_band: int,
+                        num_partitions: int | None,
+                        return_stats: bool):
+    """Bounded-matrix fast path of embedding_near_dup: ONE band
+    groupby; each bucket gathers its vectors from the broadcast
+    normalized matrix and verifies cosines with a bucket-local matmul,
+    emitting only true pairs (plus the shared hot-bucket marker rows).
+    Identical output to the join-gather chain."""
+    import ray as _ray
+
+    from asserts_otel_processor_ray.stages.topk import (
+        collect_df, default_shuffle_blocks)
+    if num_partitions is None:
+        num_partitions = default_shuffle_blocks()
+    tbls = [t for t in _ray.get(
+        ds.map_batches(lambda t: t.select(["vec_id", "embedding"]),
+                       batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not tbls:
+        df = pd.DataFrame(_EMPTY_VEC_PAIRS)
+        return (df, {"skipped_buckets": 0, "max_skipped_size": 0}) \
+            if return_stats else df
+    tbl = pa.concat_tables(tbls)
+    ids_all = tbl.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids_all, kind="mergesort")
+    ref = _ray.put((ids_all[order], _normalize(_matrix(tbl))[order]))
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["vec_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame(_EMPTY_VEC_PAIRS)
+        if max_bucket is not None and len(ids) > max_bucket:
+            bkey = (int(group["band_id"].iloc[0]) << bits_per_band) \
+                | int(group["band_hash"].iloc[0])
+            return pd.DataFrame({"vec_a": [np.int64(-1 - bkey)],
+                                 "vec_b": [np.int64(len(ids))]})
+        aids, mat = _ray.get(ref)      # plasma-shared per node
+        m = mat[np.searchsorted(aids, ids)]
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = sims[ii, jj] >= threshold
+        return pd.DataFrame({"vec_a": ids[ii[hit]],
+                             "vec_b": ids[jj[hit]]})
+
+    _tune_multi_shuffle_context(banded.context, num_partitions,
+                                concurrent_stages=1)
+    out = collect_df(banded.groupby(["band_id", "band_hash"]).map_groups(
+        verify_bucket, batch_format="pandas"))
+    stats = {"skipped_buckets": 0, "max_skipped_size": 0}
+    if out.empty:
+        df = pd.DataFrame(_EMPTY_VEC_PAIRS)
+    else:
+        mk = out["vec_a"] < 0
+        if mk.any():
+            stats = {"skipped_buckets": int(mk.sum()),
+                     "max_skipped_size": int(out.loc[mk, "vec_b"].max())}
+            import logging
+            logging.getLogger(__name__).warning(
+                "embedding near-dup LSH: skipped %d hot bucket(s) over "
+                "max_bucket=%s (largest: %d vectors)",
+                stats["skipped_buckets"], max_bucket,
+                stats["max_skipped_size"])
+        df = out[~mk]
+        df = (pd.DataFrame(_EMPTY_VEC_PAIRS) if df.empty else
+              df.drop_duplicates().sort_values(["vec_a", "vec_b"])
+              .reset_index(drop=True))
+    return (df, stats) if return_stats else df
+
+
 def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
                        dim: int, bands: int = 16,
                        bits_per_band: int = 4,
                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
                        num_partitions: int | None = None,
-                       return_stats: bool = False):
+                       return_stats: bool = False,
+                       broadcast_budget_bytes: int
+                       = EMB_BROADCAST_BUDGET_BYTES):
     """Embedding-cosine near-duplicate pairs, distributed in three
     bounded exchanges — embeddings are NEVER duplicated ×bands:
 
@@ -573,13 +652,19 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
     band) and cut candidate volume ~30% while keeping measured recall
     1.0 at the gate data (tests/test_extra_ops.py pins recall vs
     near_dup_pairs_exact).  Approximate: recall < 1 when a qualifying
-    pair collides in NO band — the standard LSH band tradeoff."""
+    pair collides in NO band — the standard LSH band tradeoff.
+
+    When the whole embedding matrix fits ``broadcast_budget_bytes``
+    (n·dim·4), the three-exchange chain collapses to ONE exchange: each
+    bucket verifies cosines directly against a ``ray.put`` broadcast of
+    the normalized matrix (gather by id + bucket-local matmul), never
+    materializing the candidate pair set — a loose threshold like 0.45
+    (63°) forces near-quadratic candidate volume out of any banding, so
+    skipping pair materialization is worth ~8× wall at bench scale.
+    Both paths produce identical pairs (test-pinned)."""
     import ray.data  # noqa: F401
 
-    from asserts_otel_processor_ray.stages.topk import (
-        collect_df, default_shuffle_blocks)
-    if num_partitions is None:
-        num_partitions = default_shuffle_blocks()
+    from asserts_otel_processor_ray.stages.topk import collect_df
     lsh = HyperplaneLSH(dim, nbits=bands * bits_per_band)
     mask = np.uint64((1 << bits_per_band) - 1)
 
@@ -599,6 +684,14 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
         })
 
     banded = ds.map_batches(band_expand, batch_format="pyarrow")
+    n_vec = int(ds.count())
+    if num_partitions is None:
+        from asserts_otel_processor_ray.stages.topk import shuffle_width
+        num_partitions = shuffle_width(n_vec * bands)
+    if n_vec * dim * 4 <= broadcast_budget_bytes:
+        return _near_dup_broadcast(ds, banded, threshold, max_bucket,
+                                   bits_per_band, num_partitions,
+                                   return_stats)
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: _near_dup_candidates_bucket(g, max_bucket,
                                               bits_per_band),

@@ -51,6 +51,31 @@ def default_shuffle_blocks(floor: int = 8) -> int:
     return max(floor, ncpus)
 
 
+# don't over-partition tiny inputs (each extra partition pays fixed
+# exchange/aggregator cost — measured 2x on 100k-row inputs at width
+# 32 vs 8) ...
+_MIN_ROWS_PER_PARTITION = 16_384
+# ... and don't let one partition-block outgrow worker memory at scale
+# (keyed partitions are processed as ONE block by the block kernels)
+_MAX_ROWS_PER_PARTITION = 4_000_000
+
+
+def shuffle_width(n_rows: int | None = None, floor: int = 8) -> int:
+    """Data-aware hash-repartition width: CPU-scaled like
+    default_shuffle_blocks, but clamped so partitions hold at least
+    ~_MIN_ROWS_PER_PARTITION rows (tiny inputs don't pay a wide
+    exchange's fixed costs) and at most ~_MAX_ROWS_PER_PARTITION rows
+    (the block-memory ceiling — this bound may EXCEED cluster CPUs,
+    which is correct: excess partitions just queue).  Pass the
+    (cheaply known, e.g. parquet-metadata) input row count; with
+    ``n_rows=None`` behaves exactly like default_shuffle_blocks."""
+    w = default_shuffle_blocks(floor)
+    if n_rows is not None:
+        w = min(w, max(floor, -(-int(n_rows) // _MIN_ROWS_PER_PARTITION)))
+        w = max(w, -(-int(n_rows) // _MAX_ROWS_PER_PARTITION))
+    return w
+
+
 def collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Materialize a (small, pre-reduced) dataset to a driver DataFrame."""
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]

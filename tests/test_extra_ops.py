@@ -697,3 +697,17 @@ def test_dedup_clusters_distributed_path_matches_driver(ray_session):
     b = dedup_clusters(docs, pair_budget=0).to_pandas()
     assert len(a) > 0          # the sf0.001 corpus has near-dups
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_embedding_near_dup_join_path_matches_broadcast(ray_session):
+    """The beyond-budget join-gather chain must emit the identical
+    pair set as the bounded-matrix broadcast fast path."""
+    import ray
+    import asserts_otel_processor_ray.stages.similarity as S
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    dim = len(ds.take(1)[0]["embedding"])
+    a = S.embedding_near_dup(ds, threshold=0.45, dim=dim)
+    b = S.embedding_near_dup(ds, threshold=0.45, dim=dim,
+                             broadcast_budget_bytes=0)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
