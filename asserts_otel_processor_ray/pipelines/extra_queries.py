@@ -765,6 +765,195 @@ def q_frame_sample(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(frames), preserve_index=False)
 
 
+# ---- round-5 additions: decontamination, repetition filter, per-source
+# ---- caps, rolling windows, cluster medoids, pricing rollup ------------
+
+def _collect_table(ds: "ray.data.Dataset") -> pa.Table:
+    """Like collect_df but schema-preserving for EMPTY results (a typed
+    0-row table instead of a columnless DataFrame)."""
+    import ray as _ray
+    tables = _ray.get(ds.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows > 0] or tables[:1]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def q_repetition(sf_dir: str) -> pa.Table:
+    """Duplicate-bigram repetition ratio per document (boilerplate
+    filter) — one streaming map_batches pass, no shuffle."""
+    part = _docs(sf_dir).map_batches(T.RepetitionStage,
+                                     fn_constructor_args=(2,),
+                                     batch_format="pyarrow",
+                                     concurrency=(1, 8))
+    return pa.Table.from_pandas(collect_df(part), preserve_index=False)
+
+
+DECONTAM_BROADCAST_BUDGET = 50_000_000   # benchmark grams the driver
+# may hold/broadcast — eval sets are small by construction; a corpus
+# whose "benchmark" exceeds this needs the distributed-join variant
+# (same shape as tfidf's join path), not a bigger broadcast.
+
+
+def q_decontaminate(sf_dir: str, w: int = 3, mod: int = 97) -> pa.Table:
+    """Benchmark decontamination: flag corpus docs sharing >= 1
+    distinct w-token shingle with the benchmark slice
+    (doc_id % mod == 0).  Benchmark grams are collected once (bounded
+    by DECONTAM_BROADCAST_BUDGET) and broadcast via ray.put; the
+    corpus pass is a stateless actor-pool membership test — documents
+    never shuffle."""
+    import ray as _ray
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(
+        lambda b: T.bench_grams_partial(b, w, mod),
+        batch_format="pyarrow")
+    gdf = collect_df(bench)
+    g = (np.unique(gdf["gram"].to_numpy().astype(np.uint64))
+         if len(gdf) else np.array([], np.uint64))
+    if len(g) > DECONTAM_BROADCAST_BUDGET:
+        raise ValueError(
+            f"benchmark gram set ({len(g)}) exceeds the broadcast "
+            "budget — use a distributed gram join for this corpus")
+    ref = _ray.put(g)
+    out = docs.map_batches(T.DecontaminateStage,
+                           fn_constructor_args=(ref, w, mod),
+                           batch_format="pyarrow", concurrency=(1, 8))
+    return _collect_table(out)
+
+
+SOURCE_CAP_K = 10
+
+
+def _source_cap_block(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["source", "doc_id"], kind="mergesort")
+    return df[df.groupby("source", sort=False).cumcount() < k]
+
+
+def q_source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> pa.Table:
+    """Per-source document cap (the per-domain cap of web-corpus
+    curation): keep the k lowest doc_ids per source.  Two-phase exact
+    top-K — per-batch partial (<= k x sources rows per block) then ONE
+    hash repartition by source + per-block final, so the full corpus
+    never shuffles and the driver never holds more than the result."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    from ray.data.context import ShuffleStrategy
+    nparts = shuffle_width(ds.count())
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    part = ds.map_batches(lambda df: _source_cap_block(df, k),
+                          batch_format="pandas")
+    parted = part.repartition(num_blocks=nparts, keys=["source"])
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = _source_cap_block(df, k).reset_index(drop=True)
+        df["rank"] = df.groupby("source", sort=False).cumcount() + 1
+        return df
+
+    out = parted.map_batches(_final, batch_format="pandas",
+                             batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_rolling_count(sf_dir: str, window_s: float = 1800.0) -> pa.Table:
+    """Event-time rolling window count per user (RANGE frame): ONE
+    hash repartition by user_id + a vectorized two-searchsorted block
+    kernel; the count is an integer, so the result is bitwise-stable
+    under any block layout."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    from ray.data.context import ShuffleStrategy
+    nparts = shuffle_width(ds.count())
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(
+        lambda b: E.rolling_count_block(b, window_s),
+        batch_format="pyarrow", batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_cluster_medoid(sf_dir: str) -> pa.Table:
+    """Semantic-dedup representative per embedding cluster: the
+    max-cosine vector to each seeded unit centroid (IVFIndex seed
+    1234) plus cluster sizes — per-batch bounded partials, <= nlist
+    rows per block to the driver."""
+    out = S.cluster_medoids(_emb(sf_dir), dim=_EMB_DIM, nlist=16,
+                            seed=1234)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_PRICING_CUTOFF_US = int(pd.Timestamp("1998-09-02").value // 1000)
+
+
+def _pricing_partial(batch: pa.Table) -> pa.Table:
+    """TPC-H Q1-style pricing partial with EXACT integer arithmetic:
+    money columns are 2-decimal by construction, so sums run in
+    integer cents (disc_price at 1e4 scale, charge at 1e6) — the
+    latency_sum trick — making every aggregate order-independent and
+    bitwise-reproducible.  Per-row magnitude <= ~1e11, so per-block
+    int64 sums are safe; the driver merges them as Python ints
+    (arbitrary precision) before the single final division."""
+    ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+    keep = ship <= _PRICING_CUTOFF_US
+    qty = np.rint(batch.column("l_quantity").to_numpy()[keep]) \
+        .astype(np.int64)
+    pc_ = np.rint(batch.column("l_extendedprice").to_numpy()[keep]
+                  * 100).astype(np.int64)
+    dc = np.rint(batch.column("l_discount").to_numpy()[keep]
+                 * 100).astype(np.int64)
+    tc = np.rint(batch.column("l_tax").to_numpy()[keep] * 100) \
+        .astype(np.int64)
+    df = pd.DataFrame({
+        "l_returnflag": batch.column("l_returnflag").to_numpy(
+            zero_copy_only=False)[keep],
+        "l_linestatus": batch.column("l_linestatus").to_numpy(
+            zero_copy_only=False)[keep],
+        "sq": qty, "spc": pc_, "sdc": dc,
+        "sdpu": pc_ * (100 - dc),
+        "schu": pc_ * (100 - dc) * (100 + tc),
+        "n": np.ones(len(qty), np.int64),
+    })
+    out = df.groupby(["l_returnflag", "l_linestatus"], sort=False) \
+        .sum().reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_pricing(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 pricing summary analog over lineitem: per-batch exact
+    integer partials -> tiny driver merge (Python-int sums -> one
+    division per aggregate)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                 "l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"])
+    part = ds.map_batches(_pricing_partial, batch_format="pyarrow")
+    df = collect_df(part)
+    for c in ("sq", "spc", "sdc", "sdpu", "schu", "n"):
+        df[c] = df[c].astype(object)        # python ints: no overflow
+    m = df.groupby(["l_returnflag", "l_linestatus"], sort=True) \
+        .sum().reset_index()
+    n = m["n"].astype(np.int64)
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "l_linestatus": m["l_linestatus"],
+        "sum_qty": m["sq"].astype(np.int64),
+        "sum_base_price": np.array(
+            [float(v) for v in m["spc"]]) / 100.0,
+        "sum_disc_price": np.array(
+            [float(v) for v in m["sdpu"]]) / 10000.0,
+        "sum_charge": np.array(
+            [float(v) for v in m["schu"]]) / 1000000.0,
+        "avg_qty": np.array([float(v) for v in m["sq"]])
+        / n.to_numpy(np.float64),
+        "avg_price": (np.array([float(v) for v in m["spc"]]) / 100.0)
+        / n.to_numpy(np.float64),
+        "avg_disc": (np.array([float(v) for v in m["sdc"]]) / 100.0)
+        / n.to_numpy(np.float64),
+        "count_order": n,
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -797,6 +986,12 @@ EXTRA_QUERIES = {
     "m_media_features": q_media_features,
     "m_frame_sample": q_frame_sample,
     "m_resize": q_resize,
+    "d_repetition": q_repetition,
+    "d_decontaminate": q_decontaminate,
+    "g_source_cap": q_source_cap,
+    "g_rolling_count": q_rolling_count,
+    "e_cluster_medoid": q_cluster_medoid,
+    "h_pricing": q_pricing,
 }
 
 
@@ -1384,3 +1579,116 @@ SELECT media_id, in_w, in_h,
   CASE WHEN mx > 256 THEN mx ELSE 256 END AS scale_den
 FROM m""",
 }
+
+
+def _shingle_cte_sql(w: int) -> str:
+    """toks/hsh/sh CTE text: md5 token hashes + w-token rolling
+    polynomial shingles (the proven d_fingerprint mirror of
+    text_analysis.shingle_hashes, parameterized by w)."""
+    p = 2305843009213693951
+    win = "h[i]"
+    for j in range(1, w):
+        win = f"(({win}) * 1000003 + h[i+{j}]) % {p}"
+    return f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+hsh AS (
+  SELECT doc_id,
+    [CAST(CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)
+          % {p} AS HUGEINT) FOR x IN t] AS h
+  FROM toks),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) < {w}
+      THEN [list_reduce(h, (a, b) -> (a * 1000003 + b) % {p})]
+      ELSE [{win} FOR i IN generate_series(1, len(h) - {w - 1})]
+    END AS s
+  FROM hsh)"""
+
+
+def _cluster_medoid_sql(dim: int = _EMB_DIM, nlist: int = 16) -> str:
+    """SQL mirror of similarity.cluster_medoids: same seeded centroid
+    literals as the IVF oracle; list = first max-cosine centroid, the
+    representative = max-cosine member (vec_id asc tie-break)."""
+    lits = _ivf_centroid_literals(dim, nlist)
+    cos_terms = ", ".join(
+        f"list_cosine_similarity(e, CAST({lits[i]} AS DOUBLE[]))"
+        for i in range(nlist))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+cs AS (SELECT vec_id, [{cos_terms}] AS cl FROM v),
+asn AS (SELECT vec_id,
+               list_position(cl, list_aggregate(cl, 'max')) - 1
+                 AS list_id,
+               list_aggregate(cl, 'max') AS best
+        FROM cs)
+SELECT list_id, vec_id, n_vectors FROM (
+  SELECT list_id, vec_id,
+    count(*) OVER (PARTITION BY list_id) AS n_vectors,
+    row_number() OVER (PARTITION BY list_id
+                       ORDER BY best DESC, vec_id) AS rk
+  FROM asn) WHERE rk = 1"""
+
+
+EXTRA_ORACLE_SQL.update({
+    "d_repetition": f"""
+WITH {_shingle_cte_sql(2).strip()}
+SELECT doc_id, len(s) AS n_grams, len(list_distinct(s)) AS n_distinct,
+  1.0 - CAST(len(list_distinct(s)) AS DOUBLE)
+      / CAST(greatest(len(s), 1) AS DOUBLE) AS rep_ratio
+FROM sh""",
+    "d_decontaminate": f"""
+WITH {_shingle_cte_sql(3).strip()},
+gd AS (SELECT doc_id, list_distinct(s) AS gs FROM sh),
+bg AS (SELECT DISTINCT unnest(gs) AS gram FROM gd
+       WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+         FROM gd WHERE doc_id % 97 <> 0)
+SELECT doc_id, n_grams, count(*) AS n_hit,
+  CAST(count(*) AS DOUBLE) / CAST(greatest(n_grams, 1) AS DOUBLE)
+    AS contaminated_frac
+FROM corp JOIN bg USING (gram)
+GROUP BY doc_id, n_grams""",
+    "g_source_cap": f"""
+SELECT doc_id, source, rk AS rank FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents) WHERE rk <= {SOURCE_CAP_K}""",
+    "g_rolling_count": """
+SELECT event_id, user_id, ts,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                 AND CURRENT ROW) AS n_window
+FROM events""",
+    "e_cluster_medoid": _cluster_medoid_sql(),
+    "h_pricing": """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity) AS BIGINT) AS q,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+    CAST(round(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+    sum(CAST(q AS HUGEINT)) AS sq,
+    sum(CAST(pc AS HUGEINT)) AS spc,
+    sum(CAST(dc AS HUGEINT)) AS sdc,
+    sum(CAST(pc * (100 - dc) AS HUGEINT)) AS sdpu,
+    sum(CAST(pc * (100 - dc) * (100 + tc) AS HUGEINT)) AS schu,
+    count(*) AS n
+  FROM f GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus,
+  CAST(sq AS BIGINT) AS sum_qty,
+  CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sdpu AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(schu AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+  (CAST(spc AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+  (CAST(sdc AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_disc,
+  n AS count_order
+FROM s""",
+})

@@ -226,3 +226,44 @@ def quantiles_from_counts(df: pd.DataFrame) -> pd.DataFrame:
         idx = int(np.searchsorted(cum, rank, side="left"))
         out[f"p{p}"] = [float(vals[idx])]
     return pd.DataFrame(out)
+
+
+def rolling_count_block(batch: pa.Table,
+                        window_s: float = 1800.0) -> pa.Table:
+    """Event-time RANGE-window rolling count: for every event, the
+    number of events by the SAME user with ts in
+    [ts - window_s, ts] (inclusive both ends — the SQL
+    ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`` frame, which
+    includes ts-peers).  Requires blocks hash-partitioned by user_id;
+    fully vectorized via two searchsorted sweeps over the per-user
+    sorted timestamp runs (an integer count — order-independent and
+    bitwise-stable under any block layout)."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "n_window": pa.array([], pa.int64()),
+        })
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(batch, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending")])
+    batch = batch.take(idx)
+    user = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    win_us = int(window_s * US)
+    # per-user runs: offset ts by run index * a huge stride so ONE
+    # global searchsorted respects user boundaries (ts spans are tiny
+    # vs int64; stride > global ts span keeps runs disjoint)
+    new_user = np.r_[True, user[1:] != user[:-1]]
+    run = np.cumsum(new_user) - 1
+    stride = (int(ts.max()) - int(ts.min()) + win_us + 1) if len(ts) else 1
+    key = run * stride + (ts - int(ts.min()))
+    hi = np.searchsorted(key, key, side="right")
+    lo = np.searchsorted(key, key - win_us, side="left")
+    return pa.table({
+        "event_id": batch.column("event_id"),
+        "user_id": batch.column("user_id"),
+        "ts": batch.column("ts"),
+        "n_window": pa.array((hi - lo).astype(np.int64), pa.int64()),
+    })

@@ -805,3 +805,65 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float,
     if return_stats:
         return df, stats
     return df
+
+
+def cluster_medoid_partial(batch: pa.Table,
+                           centroids: np.ndarray) -> pa.Table:
+    """Per-batch partial for cluster-representative selection (semantic
+    dedup / coreset pick): assign each vector to its max-cosine
+    centroid (ties → lowest centroid id, numpy argmax first-max) and
+    keep, per cluster, the batch's best (max cos, tie → lowest vec_id)
+    vector plus the batch's member count.  The driver final merges
+    <= nlist rows per block — only ranks/ids are emitted, never raw
+    cosines (float summation order differs across engines)."""
+    ids = batch.column("vec_id").to_numpy()
+    if len(ids) == 0:
+        return pa.table({"list_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "n_vectors": pa.array([], pa.int64())})
+    m = _normalize(_matrix(batch))
+    cos = m @ centroids.T                  # (n, nlist), float64
+    lid = cos.argmax(axis=1)
+    best = cos[np.arange(len(ids)), lid]
+    # per-cluster argmax(best) with vec_id asc tie-break: sort by
+    # (lid, -best, vec_id) and keep first per lid
+    order = np.lexsort((ids, -best, lid))
+    l_s, i_s, b_s = lid[order], ids[order], best[order]
+    first = np.r_[True, l_s[1:] != l_s[:-1]]
+    counts = np.bincount(lid, minlength=centroids.shape[0])
+    return pa.table({
+        "list_id": pa.array(l_s[first].astype(np.int64), pa.int64()),
+        "vec_id": pa.array(i_s[first], pa.int64()),
+        "n_vectors": pa.array(counts[l_s[first]].astype(np.int64),
+                              pa.int64()),
+        "best_cos": pa.array(b_s[first], pa.float64()),
+    })
+
+
+def cluster_medoids(ds: "ray.data.Dataset", dim: int, nlist: int = 16,
+                    seed: int = 1234) -> pd.DataFrame:
+    """Cluster-representative table (list_id, vec_id, n_vectors): the
+    per-cluster vector most similar to its (seeded — see IVFIndex) unit
+    centroid, plus cluster sizes.  One streaming pass of bounded
+    per-batch partials; the driver merges <= nlist x blocks rows.  The
+    raw best_cos column is dropped from the result (rank-only output
+    contract)."""
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    idx = IVFIndex(dim, nlist=nlist, seed=seed)
+    part = ds.map_batches(
+        lambda b: cluster_medoid_partial(b, idx.centroids),
+        batch_format="pyarrow")
+    df = collect_df(part)
+    if df.empty:
+        return pd.DataFrame({"list_id": pd.Series([], dtype=np.int64),
+                             "vec_id": pd.Series([], dtype=np.int64),
+                             "n_vectors": pd.Series([], dtype=np.int64)})
+    df = df.sort_values(["list_id", "best_cos", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    tot = df.groupby("list_id", sort=True)["n_vectors"].sum()
+    top = df.drop_duplicates("list_id", keep="first").set_index("list_id")
+    out = pd.DataFrame({"list_id": tot.index.to_numpy(np.int64),
+                        "vec_id": top.loc[tot.index, "vec_id"]
+                        .to_numpy(np.int64),
+                        "n_vectors": tot.to_numpy(np.int64)})
+    return out.reset_index(drop=True)

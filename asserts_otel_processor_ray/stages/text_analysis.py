@@ -387,3 +387,101 @@ class FingerprintStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return fingerprint_batch(batch, self.w, self.cache)
+
+
+def _distinct_shingles(batch: pa.Table, w: int,
+                       cache: dict | None = None
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes, doc_index, totals): per-doc DISTINCT w-token shingle
+    hashes (lexsort + boundary diff — no Python per doc) plus the
+    per-doc TOTAL (non-distinct) shingle count."""
+    toks = _tokens_series(batch.column("text"))
+    hashes, docs = shingle_hashes(toks, w, cache)
+    totals = np.bincount(docs, minlength=batch.num_rows).astype(np.int64)
+    if len(hashes) == 0:
+        return hashes, docs, totals
+    order = np.lexsort((hashes, docs))
+    h, d = hashes[order], docs[order]
+    keep = np.r_[True, (h[1:] != h[:-1]) | (d[1:] != d[:-1])]
+    return h[keep], d[keep], totals
+
+
+def repetition_batch(batch: pa.Table, w: int = 2,
+                     cache: dict | None = None) -> pa.Table:
+    """Repetition-ratio quality signal: share of repeated w-token
+    shingles per document (1 - distinct/total) — the classic
+    "duplicate n-gram fraction" filter for boilerplate-heavy web text.
+    Pure per-document map_batches: no shuffle at any scale."""
+    doc_id = batch.column("doc_id").to_numpy()
+    h, d, totals = _distinct_shingles(batch, w, cache)
+    distinct = np.bincount(d, minlength=batch.num_rows).astype(np.int64)
+    safe = np.maximum(totals, 1)
+    rep = 1.0 - distinct.astype(np.float64) / safe.astype(np.float64)
+    return pa.table({
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "n_grams": pa.array(totals, pa.int64()),
+        "n_distinct": pa.array(distinct, pa.int64()),
+        "rep_ratio": pa.array(rep, pa.float64()),
+    })
+
+
+class RepetitionStage:
+    """Actor-pool repetition_batch with a persistent vocab cache."""
+
+    def __init__(self, w: int = 2):
+        self.w = w
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return repetition_batch(batch, self.w, self.cache)
+
+
+def bench_grams_partial(batch: pa.Table, w: int = 3, mod: int = 97,
+                        cache: dict | None = None) -> pa.Table:
+    """Benchmark-side decontamination partial: the distinct w-token
+    shingle hashes of this batch's BENCHMARK docs (doc_id % mod == 0).
+    The benchmark/eval set is small by construction (its grams are the
+    broadcast side), so the driver-side unique over these partials is
+    bounded — the standard decontamination shape."""
+    ids = batch.column("doc_id").to_numpy()
+    sel = ids % mod == 0
+    if not sel.any():
+        return pa.table({"gram": pa.array([], pa.int64())})
+    h, _, _ = _distinct_shingles(batch.filter(pa.array(sel)), w, cache)
+    return pa.table({"gram": pa.array(np.unique(h).astype(np.int64),
+                                      pa.int64())})
+
+
+class DecontaminateStage:
+    """Corpus-side decontamination: per-doc distinct w-gram hashes
+    membership-tested (sorted searchsorted) against the ray.put
+    broadcast of the benchmark gram set; emits docs with >= 1 hit.
+    Setup (broadcast fetch + sort) happens once per actor."""
+
+    def __init__(self, grams_ref, w: int = 3, mod: int = 97):
+        import ray
+        self.grams = np.sort(np.asarray(ray.get(grams_ref),
+                                        dtype=np.uint64))
+        self.w, self.mod = w, mod
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sel = ids % self.mod != 0
+        batch = batch.filter(pa.array(sel))
+        ids = ids[sel]
+        h, d, _ = _distinct_shingles(batch, self.w, self.cache)
+        nd = np.bincount(d, minlength=batch.num_rows).astype(np.int64)
+        pos = np.searchsorted(self.grams, h)
+        pos[pos == len(self.grams)] = max(len(self.grams) - 1, 0)
+        hit = (self.grams[pos] == h) if len(self.grams) else \
+            np.zeros(len(h), bool)
+        nh = np.bincount(d[hit], minlength=batch.num_rows).astype(np.int64)
+        keep = nh >= 1
+        frac = nh[keep].astype(np.float64) / np.maximum(nd[keep], 1)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_grams": pa.array(nd[keep], pa.int64()),
+            "n_hit": pa.array(nh[keep], pa.int64()),
+            "contaminated_frac": pa.array(frac, pa.float64()),
+        })

@@ -336,7 +336,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 def ducks():
     con = duckdb.connect()
     for name in ["documents", "embeddings", "events",
-                 "orders", "customer", "nation"]:
+                 "orders", "customer", "nation", "lineitem"]:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
                 f"read_parquet('{SF}/{name}.parquet')")
     return con
@@ -352,7 +352,9 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_embedding_near_dup", "g_sessionize", "g_window_dedup",
            "g_topk_users", "g_sample_hash", "g_quantiles",
            "g_asof_join", "m_media_features", "m_frame_sample",
-           "m_resize", "d_bpe_tokens", "h_nation_orders"]
+           "m_resize", "d_bpe_tokens", "h_nation_orders",
+           "d_repetition", "d_decontaminate", "g_source_cap",
+           "g_rolling_count", "e_cluster_medoid", "h_pricing"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -711,3 +713,143 @@ def test_embedding_near_dup_join_path_matches_broadcast(ray_session):
                              broadcast_budget_bytes=0)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- round-5 operator kernels -------------------------------------------
+
+def test_rolling_count_block_matches_bruteforce():
+    """RANGE-frame semantics incl. ts peers and the run-stride trick
+    (users whose windows would bleed across runs)."""
+    from asserts_otel_processor_ray.stages.events import (
+        rolling_count_block)
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = rng.integers(0, 10_000, n) * 1_000_000          # 0..10000 s
+    ts[50:60] = ts[50]                                   # forced peers
+    user = rng.integers(0, 5, n)
+    batch = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+    })
+    out = rolling_count_block(batch, window_s=1800.0).to_pandas()
+    w = 1800 * 1_000_000
+    for _, r in out.sample(60, random_state=0).iterrows():
+        uts = ts[user == r.user_id]
+        cur = r.ts.value // 1000 if hasattr(r.ts, "value") else int(r.ts)
+        expect = int(((uts >= cur - w) & (uts <= cur)).sum())
+        assert r.n_window == expect
+    # empty batch keeps schema
+    empty = rolling_count_block(batch.slice(0, 0))
+    assert empty.num_rows == 0 and "n_window" in empty.column_names
+
+
+def test_repetition_ratio_semantics():
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        repetition_batch)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a b", "a b c d e", "x"], pa.string()),
+    })
+    out = repetition_batch(batch, w=2).to_pandas().set_index("doc_id")
+    # doc 1: grams ab ba ab ba ab -> 5 total, 2 distinct
+    assert out.loc[1, "n_grams"] == 5 and out.loc[1, "n_distinct"] == 2
+    assert out.loc[1, "rep_ratio"] == 1.0 - 2.0 / 5.0
+    assert out.loc[2, "rep_ratio"] == 0.0
+    # single-token doc: one whole-run shingle, no repetition
+    assert out.loc[3, "n_grams"] == 1 and out.loc[3, "rep_ratio"] == 0.0
+
+
+def test_decontaminate_membership(ray_session):
+    """Docs sharing a 3-gram with the benchmark slice are flagged with
+    the right hit counts; benchmark docs themselves are excluded."""
+    import ray as _ray
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        DecontaminateStage, bench_grams_partial)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),       # 0 = benchmark
+        "text": pa.array(["the quick brown fox jumps",
+                          "lazy quick brown fox here",   # shares 2 grams
+                          "nothing in common at all"], pa.string()),
+    })
+    g = bench_grams_partial(batch, w=3, mod=97)["gram"].to_numpy()
+    ref = _ray.put(np.asarray(g, np.uint64))
+    out = DecontaminateStage(ref, w=3, mod=97)(batch).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    assert out.loc[0, "n_hit"] == 1          # shared: "quick brown fox"
+    assert out.loc[0, "n_grams"] == 3
+    assert out.loc[0, "contaminated_frac"] == 1.0 / 3.0
+
+
+def test_source_cap_partial_final_equivalence():
+    """Two-phase cap == single-pass cap on a concatenated frame."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _source_cap_block)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"doc_id": rng.permutation(300),
+                       "source": [f"s{i % 7}" for i in range(300)]})
+    whole = _source_cap_block(df, 10)
+    parts = [_source_cap_block(p, 10)
+             for p in np.array_split(df.sample(frac=1, random_state=1), 5)]
+    two_phase = _source_cap_block(pd.concat(parts), 10)
+    a = whole.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = two_phase.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_medoid_partial_merge():
+    """Partial-per-batch + driver merge == single-batch answer."""
+    from asserts_otel_processor_ray.stages.similarity import (
+        IVFIndex, _matrix, _normalize, cluster_medoid_partial)
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((200, 8)).astype(np.float32)
+    idx = IVFIndex(8, nlist=4, seed=1234)
+
+    def tbl(lo, hi):
+        return pa.table({
+            "vec_id": pa.array(np.arange(lo, hi), pa.int64()),
+            "embedding": pa.array([list(map(float, r))
+                                   for r in m[lo:hi]],
+                                  pa.list_(pa.float32())),
+        })
+
+    whole = cluster_medoid_partial(tbl(0, 200), idx.centroids).to_pandas()
+    parts = pd.concat([
+        cluster_medoid_partial(tbl(0, 90), idx.centroids).to_pandas(),
+        cluster_medoid_partial(tbl(90, 200), idx.centroids).to_pandas()])
+    merged = (parts.sort_values(["list_id", "best_cos", "vec_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+              .drop_duplicates("list_id"))
+    assert list(merged["vec_id"]) == list(whole["vec_id"])
+    tot = parts.groupby("list_id")["n_vectors"].sum()
+    assert (tot.to_numpy() == whole.set_index("list_id")
+            .loc[tot.index, "n_vectors"].to_numpy()).all()
+
+
+def test_pricing_partial_exact_integers():
+    """Integer-cents partials are exact: splitting a batch changes no
+    aggregate bit."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _pricing_partial)
+    rng = np.random.default_rng(5)
+    n = 1000
+    batch = pa.table({
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+        "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+        "l_shipdate": pa.array(
+            (np.datetime64("1995-01-01") +
+             rng.integers(0, 2000, n).astype("timedelta64[D]"))
+            .astype("datetime64[us]"), pa.timestamp("us")),
+        "l_quantity": pa.array(rng.integers(1, 50, n).astype(float)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(100, 10000, n), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, .1, n), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, .08, n), 2)),
+    })
+    whole = (_pricing_partial(batch).to_pandas()
+             .groupby(["l_returnflag", "l_linestatus"]).sum())
+    split = (pd.concat([_pricing_partial(batch.slice(0, 300)).to_pandas(),
+                        _pricing_partial(batch.slice(300)).to_pandas()])
+             .groupby(["l_returnflag", "l_linestatus"]).sum())
+    pd.testing.assert_frame_equal(whole, split.loc[whole.index])
