@@ -954,6 +954,213 @@ def q_pricing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+STRAT_SAMPLE_K = 3
+
+
+def _strat_partial(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-batch stratified-sample partial: k lowest (md5(doc_id),
+    doc_id) per language — the same deterministic token hash as the
+    fingerprint family, so the oracle mirrors it as a literal
+    expression."""
+    h = T.token_hashes(df["doc_id"].astype(np.int64).astype(str))
+    df = df.assign(h=h.astype(np.uint64))
+    df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+    return df[df.groupby("lang", sort=False).cumcount() < k]
+
+
+def q_stratified_sample(sf_dir: str, k: int = STRAT_SAMPLE_K) -> pa.Table:
+    """Deterministic stratified sampling: the k hash-lowest documents
+    per language — per-batch partial (<= k x langs rows per block),
+    one hash repartition by lang, per-block final.  The corpus never
+    shuffles and the sample is stable under any blocking."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    from ray.data.context import ShuffleStrategy
+    nparts = shuffle_width(ds.count())
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    part = ds.map_batches(lambda df: _strat_partial(df, k),
+                          batch_format="pandas")
+    parted = part.repartition(num_blocks=nparts, keys=["lang"])
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df = df[df.groupby("lang", sort=False).cumcount() < k] \
+            .reset_index(drop=True)
+        df["sample_rank"] = df.groupby("lang", sort=False).cumcount() + 1
+        return df[["doc_id", "lang", "sample_rank"]]
+
+    out = parted.map_batches(_final, batch_format="pandas",
+                             batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+PACK_SEQ_TOKENS = 2048          # training-sequence token budget
+PACK_BUCKET_DOCS = 4096         # doc_ids per prefix-sum bucket
+
+
+def _pack_tokens_batch(batch: pa.Table,
+                       bucket_docs: int) -> pa.Table:
+    """(doc_id, bucket, n_tokens) slim rows (whitespace token count,
+    the d_token_stats definition)."""
+    import pyarrow.compute as pc
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch.column("text")), r"\s+")
+    ids = batch.column("doc_id").to_numpy()
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "bucket": pa.array(ids // bucket_docs, pa.int64()),
+        "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+    })
+
+
+def q_pack_offsets(sf_dir: str, budget: int = PACK_SEQ_TOKENS,
+                   bucket_docs: int = PACK_BUCKET_DOCS) -> pa.Table:
+    """Token-offset packing for training sequences: every document's
+    global start offset in the doc_id-ordered token stream, and the
+    sequence (of ``budget`` tokens) it starts in.  Distributed prefix
+    sum: (1) per-batch bucket partials -> distributed
+    groupby(bucket).sum -> bounded driver prefix (one row per
+    PACK_BUCKET_DOCS ids); (2) ONE hash repartition by bucket +
+    per-block bucket-local cumsum + the broadcast bucket offset.
+    Exact integer arithmetic; result independent of blocking and of
+    the bucket width."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    slim = ds.map_batches(lambda b: _pack_tokens_batch(b, bucket_docs),
+                          batch_format="pyarrow")
+    bsum = collect_df(slim.groupby("bucket").aggregate(Sum("n_tokens")))
+    bsum = bsum.rename(columns={"sum(n_tokens)": "tok"}) \
+        .sort_values("bucket", ignore_index=True)
+    starts = np.r_[0, bsum["tok"].to_numpy(np.int64).cumsum()][:-1]
+    ref = _ray.put((bsum["bucket"].to_numpy(np.int64), starts))
+
+    nparts = shuffle_width(ds.count())
+    slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    slim.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    parted = slim.repartition(num_blocks=nparts, keys=["bucket"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        buckets, offs = _ray.get(ref)
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(batch,
+                              sort_keys=[("bucket", "ascending"),
+                                         ("doc_id", "ascending")])
+        batch = batch.take(idx)
+        b = batch.column("bucket").to_numpy()
+        nt = batch.column("n_tokens").to_numpy()
+        cum = nt.cumsum()
+        new_b = np.r_[True, b[1:] != b[:-1]]
+        base = np.maximum.accumulate(
+            np.where(new_b, cum - nt, np.int64(-1)))
+        local_start = cum - nt - base   # bucket-local prefix
+        start = offs[np.searchsorted(buckets, b)] + local_start
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "start_offset": pa.array(start.astype(np.int64), pa.int64()),
+            "seq_id": pa.array(start // budget, pa.int64()),
+        })
+
+    out = parted.map_batches(_final, batch_format="pyarrow",
+                             batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_dedup_keep(sf_dir: str) -> pa.Table:
+    """The kept corpus after MinHash near-dup clustering: drop every
+    cluster member except its min doc.  The drop set is bounded by the
+    near-dup volume (broadcast via ray.put); the corpus pass is a
+    stateless filter."""
+    import ray as _ray
+    docs = _docs(sf_dir)
+    cl = dedup_clusters(docs).to_pandas()
+    drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"] \
+        .to_numpy(np.int64)
+    drop.sort()
+    ref = _ray.put(drop)
+
+    class _Keep:
+        def __init__(self, ref):
+            self.drop = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            keep = ~np.isin(ids, self.drop, assume_unique=False)
+            return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    out = docs.map_batches(_Keep, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 8))
+    return _collect_table(out)
+
+
+# curation thresholds (mirrored literally in the oracle SQL)
+CURATION_MIN_TOKENS = 20
+CURATION_MIN_QUALITY = 0.6
+CURATION_MAX_REP = 0.08
+CURATION_MAX_CONTAM = 0.10
+
+
+class _CurationStage:
+    """The composite curation pipeline: every per-document signal
+    (token count, quality score, repetition ratio, benchmark
+    contamination) computed in ONE read pass; emits keep/reject with
+    the first failing rule.  Rule order: benchmark > too_short >
+    repetitive > contaminated > low_quality."""
+
+    def __init__(self, grams_ref, w: int = 3, mod: int = 97):
+        import ray as _ray
+        self.grams = np.sort(np.asarray(_ray.get(grams_ref),
+                                        dtype=np.uint64))
+        self.w, self.mod = w, mod
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        q = T.quality_batch(batch)
+        nt = q.column("n_tokens").to_numpy()
+        score = q.column("quality_score").to_numpy()
+        rep = T.repetition_batch(batch, 2, self.cache) \
+            .column("rep_ratio").to_numpy()
+        nd, nh = T.decontam_counts(batch, self.grams, self.w,
+                                   self.cache)
+        contam = nh.astype(np.float64) / np.maximum(nd, 1)
+        reason = np.full(len(ids), "", dtype=object)
+        reason[score < CURATION_MIN_QUALITY] = "low_quality"
+        reason[contam > CURATION_MAX_CONTAM] = "contaminated"
+        reason[rep > CURATION_MAX_REP] = "repetitive"
+        reason[nt < CURATION_MIN_TOKENS] = "too_short"
+        reason[ids % self.mod == 0] = "benchmark"
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep": pa.array((reason == "").astype(np.int64),
+                             pa.int64()),
+            "reject_reason": pa.array(reason.astype("U"), pa.string()),
+        })
+
+
+def q_curation(sf_dir: str) -> pa.Table:
+    """End-to-end curation decision per document — the flagship
+    composite of the training-data operators: one benchmark-gram
+    collection (bounded broadcast) + one corpus pass computing all
+    signals; no shuffle anywhere."""
+    import ray as _ray
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(
+        lambda b: T.bench_grams_partial(b, 3, 97),
+        batch_format="pyarrow")
+    gdf = collect_df(bench)
+    g = (np.unique(gdf["gram"].to_numpy().astype(np.uint64))
+         if len(gdf) else np.array([], np.uint64))
+    ref = _ray.put(g)
+    out = docs.map_batches(_CurationStage, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 8))
+    return _collect_table(out)
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -992,6 +1199,10 @@ EXTRA_QUERIES = {
     "g_rolling_count": q_rolling_count,
     "e_cluster_medoid": q_cluster_medoid,
     "h_pricing": q_pricing,
+    "d_stratified_sample": q_stratified_sample,
+    "d_pack_offsets": q_pack_offsets,
+    "d_dedup_keep": q_dedup_keep,
+    "d_curation": q_curation,
 }
 
 
@@ -1581,30 +1792,32 @@ FROM m""",
 }
 
 
-def _shingle_cte_sql(w: int) -> str:
+def _shingle_cte_sql(w: int, sfx: str = "") -> str:
     """toks/hsh/sh CTE text: md5 token hashes + w-token rolling
     polynomial shingles (the proven d_fingerprint mirror of
-    text_analysis.shingle_hashes, parameterized by w)."""
+    text_analysis.shingle_hashes, parameterized by w).  ``sfx``
+    renames the CTEs (toks{sfx}/hsh{sfx}/sh{sfx}) so two widths can
+    compose in one query."""
     p = 2305843009213693951
     win = "h[i]"
     for j in range(1, w):
         win = f"(({win}) * 1000003 + h[i+{j}]) % {p}"
     return f"""
-toks AS (
+toks{sfx} AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents),
-hsh AS (
+hsh{sfx} AS (
   SELECT doc_id,
     [CAST(CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)
           % {p} AS HUGEINT) FOR x IN t] AS h
-  FROM toks),
-sh AS (
+  FROM toks{sfx}),
+sh{sfx} AS (
   SELECT doc_id,
     CASE WHEN len(h) < {w}
       THEN [list_reduce(h, (a, b) -> (a * 1000003 + b) % {p})]
       ELSE [{win} FOR i IN generate_series(1, len(h) - {w - 1})]
     END AS s
-  FROM hsh)"""
+  FROM hsh{sfx})"""
 
 
 def _cluster_medoid_sql(dim: int = _EMB_DIM, nlist: int = 16) -> str:
@@ -1691,4 +1904,100 @@ SELECT l_returnflag, l_linestatus,
   (CAST(sdc AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_disc,
   n AS count_order
 FROM s""",
+})
+
+
+def _curation_sql() -> str:
+    """SQL mirror of q_curation: the d_quality, d_repetition and
+    d_decontaminate oracle bodies composed in one statement, with the
+    same rule precedence (benchmark > too_short > repetitive >
+    contaminated > low_quality) and literal thresholds."""
+    return f"""
+WITH {_shingle_cte_sql(2, "r").strip()},
+rep AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(s)) AS DOUBLE)
+        / CAST(greatest(len(s), 1) AS DOUBLE) AS rep_ratio
+  FROM shr),
+{_shingle_cte_sql(3, "c").strip()},
+gd AS (SELECT doc_id, list_distinct(s) AS gs FROM shc),
+bg AS (SELECT DISTINCT unnest(gs) AS gram FROM gd
+       WHERE doc_id % 97 = 0),
+lng AS (SELECT doc_id, unnest(gs) AS gram FROM gd),
+hits AS (SELECT lng.doc_id, count(*) AS n_hit
+         FROM lng JOIN bg USING (gram) GROUP BY lng.doc_id),
+contam AS (
+  SELECT gd.doc_id,
+    CAST(coalesce(hits.n_hit, 0) AS DOUBLE)
+      / CAST(greatest(len(gd.gs), 1) AS DOUBLE) AS contaminated_frac
+  FROM gd LEFT JOIN hits ON gd.doc_id = hits.doc_id),
+qb AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    len(list_filter(t, x -> x IN ({STOP_SQL}))) AS n_stopwords,
+    len(list_distinct(t)) AS n_distinct
+  FROM toksr),
+qr AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      AS stopword_ratio,
+    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      AS type_token_ratio
+  FROM qb),
+qual AS (
+  SELECT doc_id, n_tokens,
+    0.4 * least(greatest(CAST(n_tokens AS DOUBLE) / 100.0, 0.0), 1.0)
+    + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio
+      AS quality_score
+  FROM qr),
+j AS (
+  SELECT q.doc_id, q.n_tokens, q.quality_score,
+         r.rep_ratio, c.contaminated_frac
+  FROM qual q JOIN rep r USING (doc_id)
+              JOIN contam c ON q.doc_id = c.doc_id)
+SELECT doc_id,
+  CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+  reason AS reject_reason
+FROM (
+  SELECT doc_id, CASE
+    WHEN doc_id % 97 = 0 THEN 'benchmark'
+    WHEN n_tokens < {CURATION_MIN_TOKENS} THEN 'too_short'
+    WHEN rep_ratio > {CURATION_MAX_REP} THEN 'repetitive'
+    WHEN contaminated_frac > {CURATION_MAX_CONTAM} THEN 'contaminated'
+    WHEN quality_score < {CURATION_MIN_QUALITY} THEN 'low_quality'
+    ELSE '' END AS reason
+  FROM j)"""
+
+
+_ID_HASH_SQL = ("CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS "
+                "VARCHAR)), 1, 16)) AS UBIGINT) % 2305843009213693951 "
+                "AS HUGEINT)")
+
+EXTRA_ORACLE_SQL.update({
+    "d_stratified_sample": f"""
+WITH h AS (SELECT doc_id, lang, {_ID_HASH_SQL} AS hv FROM documents)
+SELECT doc_id, lang, rk AS sample_rank FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+  FROM h) WHERE rk <= {STRAT_SAMPLE_K}""",
+    "d_pack_offsets": f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+         AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_id
+FROM o""",
+    "d_dedup_keep": f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({_dedup_clusters_sql()})
+  WHERE doc_id <> cluster_id)""",
+    "d_curation": _curation_sql(),
 })

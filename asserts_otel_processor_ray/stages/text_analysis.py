@@ -470,13 +470,7 @@ class DecontaminateStage:
         sel = ids % self.mod != 0
         batch = batch.filter(pa.array(sel))
         ids = ids[sel]
-        h, d, _ = _distinct_shingles(batch, self.w, self.cache)
-        nd = np.bincount(d, minlength=batch.num_rows).astype(np.int64)
-        pos = np.searchsorted(self.grams, h)
-        pos[pos == len(self.grams)] = max(len(self.grams) - 1, 0)
-        hit = (self.grams[pos] == h) if len(self.grams) else \
-            np.zeros(len(h), bool)
-        nh = np.bincount(d[hit], minlength=batch.num_rows).astype(np.int64)
+        nd, nh = decontam_counts(batch, self.grams, self.w, self.cache)
         keep = nh >= 1
         frac = nh[keep].astype(np.float64) / np.maximum(nd[keep], 1)
         return pa.table({
@@ -485,3 +479,20 @@ class DecontaminateStage:
             "n_hit": pa.array(nh[keep], pa.int64()),
             "contaminated_frac": pa.array(frac, pa.float64()),
         })
+
+def decontam_counts(batch: pa.Table, sorted_grams: np.ndarray,
+                    w: int = 3, cache: dict | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(n_distinct_grams, n_benchmark_hits) per batch row: the shared
+    membership kernel of DecontaminateStage and the composite curation
+    pipeline.  ``sorted_grams`` must be sorted uint64."""
+    h, d, _ = _distinct_shingles(batch, w, cache)
+    nd = np.bincount(d, minlength=batch.num_rows).astype(np.int64)
+    if len(sorted_grams):
+        pos = np.searchsorted(sorted_grams, h)
+        pos[pos == len(sorted_grams)] = len(sorted_grams) - 1
+        hit = sorted_grams[pos] == h
+    else:
+        hit = np.zeros(len(h), bool)
+    nh = np.bincount(d[hit], minlength=batch.num_rows).astype(np.int64)
+    return nd, nh

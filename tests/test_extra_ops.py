@@ -354,7 +354,9 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "g_asof_join", "m_media_features", "m_frame_sample",
            "m_resize", "d_bpe_tokens", "h_nation_orders",
            "d_repetition", "d_decontaminate", "g_source_cap",
-           "g_rolling_count", "e_cluster_medoid", "h_pricing"]
+           "g_rolling_count", "e_cluster_medoid", "h_pricing",
+           "d_stratified_sample", "d_pack_offsets", "d_dedup_keep",
+           "d_curation"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -853,3 +855,54 @@ def test_pricing_partial_exact_integers():
                         _pricing_partial(batch.slice(300)).to_pandas()])
              .groupby(["l_returnflag", "l_linestatus"]).sum())
     pd.testing.assert_frame_equal(whole, split.loc[whole.index])
+
+
+def test_pack_offsets_bucket_width_invariance(ray_session):
+    """The distributed prefix sum's bucket width is an internal knob:
+    a 16-doc bucket layout (many buckets, multi-bucket blocks) must
+    produce bitwise the same offsets as the default 4096."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_pack_offsets)
+    a = (q_pack_offsets(SF).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (q_pack_offsets(SF, bucket_docs=16).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    # offsets are a strict running sum of token counts in doc order
+    assert (a["start_offset"].to_numpy()[1:]
+            == (a["start_offset"] + a["n_tokens"]).to_numpy()[:-1]).all()
+
+
+def test_stratified_sample_partial_final_equivalence():
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _strat_partial)
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"doc_id": rng.permutation(500).astype(np.int64),
+                       "lang": [f"l{i % 4}" for i in range(500)]})
+    whole = _strat_partial(df, 3)
+    parts = pd.concat([_strat_partial(p, 3)
+                       for p in np.array_split(df, 7)])
+    two_phase = _strat_partial(parts, 3)
+    a = whole.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = two_phase.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_curation_reason_precedence(ray_session):
+    """First failing rule wins; benchmark docs always excluded."""
+    import ray as _ray
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _CurationStage)
+    filler = " ".join(f"w{i}" for i in range(30))
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([filler,                    # benchmark (id 0)
+                          "tiny doc",                # too_short
+                          "x y " * 30], pa.string()),  # repetitive
+    })
+    ref = _ray.put(np.array([], np.uint64))
+    out = _CurationStage(ref)(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "reject_reason"] == "benchmark"
+    assert out.loc[1, "reject_reason"] == "too_short"
+    assert out.loc[2, "reject_reason"] == "repetitive"
+    assert (out["keep"] == 0).all()
