@@ -1161,6 +1161,30 @@ def q_curation(sf_dir: str) -> pa.Table:
     return _collect_table(out)
 
 
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Ordered event funnel (view -> click -> purchase) per user: ONE
+    hash repartition by user_id + a vectorized per-stage minimum
+    sweep.  Integer timestamps and counts — bitwise-stable."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    from ray.data.context import ShuffleStrategy
+    nparts = shuffle_width(ds.count())
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(E.funnel_block, batch_format="pyarrow",
+                             batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_quantize(sf_dir: str) -> pa.Table:
+    """Int8 embedding quantization stats (vector-storage step): pure
+    per-vector map_batches, no shuffle."""
+    out = _emb(sf_dir).map_batches(S.quantize_batch,
+                                   batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -1203,6 +1227,8 @@ EXTRA_QUERIES = {
     "d_pack_offsets": q_pack_offsets,
     "d_dedup_keep": q_dedup_keep,
     "d_curation": q_curation,
+    "g_funnel": q_funnel,
+    "e_quantize": q_quantize,
 }
 
 
@@ -2000,4 +2026,43 @@ WHERE doc_id NOT IN (
   SELECT doc_id FROM ({_dedup_clusters_sql()})
   WHERE doc_id <> cluster_id)""",
     "d_curation": _curation_sql(),
+})
+
+EXTRA_ORACLE_SQL.update({
+    "g_funnel": """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id""",
+    # round_even(x, 0) == numpy rint (banker's rounding) — exact
+    # quantized-value parity, not just tolerance
+    "e_quantize": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, scale,
+        CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+             ELSE [CAST(round_even(x / scale, 0) AS BIGINT) FOR x IN e]
+        END AS ql
+      FROM s)
+SELECT vec_id, scale,
+  CAST(list_sum(ql) AS BIGINT) AS qsum,
+  CAST(list_min(ql) AS BIGINT) AS qmin,
+  CAST(list_max(ql) AS BIGINT) AS qmax
+FROM q""",
 })

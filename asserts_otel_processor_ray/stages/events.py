@@ -267,3 +267,35 @@ def rolling_count_block(batch: pa.Table,
         "ts": batch.column("ts"),
         "n_window": pa.array((hi - lo).astype(np.int64), pa.int64()),
     })
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_block(batch: pa.Table,
+                 stages: tuple[str, ...] = FUNNEL_STAGES) -> pa.Table:
+    """Ordered-funnel stage per user: stage k is reached when an
+    event of type stages[k-1] exists at-or-after the time stage k-1
+    was reached (t1 = min ts of stages[0]; t_k = min ts of stages[k-1]
+    with ts >= t_{k-1}).  Requires blocks hash-partitioned by user_id;
+    vectorized via per-stage np.minimum.at sweeps — no per-user loop."""
+    if batch.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "stage": pa.array([], pa.int64())})
+    user = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+    users, uidx = np.unique(user, return_inverse=True)
+    inf = np.iinfo(np.int64).max
+    stage = np.zeros(len(users), np.int64)
+    prev_t = np.full(len(users), -inf, np.int64)   # stage 0: no bound
+    for k, s in enumerate(stages, start=1):
+        m = (etype == s) & (ts >= prev_t[uidx])
+        t = np.full(len(users), inf, np.int64)
+        np.minimum.at(t, uidx[m], ts[m])
+        reached = t < inf
+        stage[reached & (stage == k - 1)] = k
+        # users that stalled keep prev_t = inf so later stages can't fire
+        prev_t = np.where(reached & (stage >= k), t, inf)
+    return pa.table({"user_id": pa.array(users, pa.int64()),
+                     "stage": pa.array(stage, pa.int64())})

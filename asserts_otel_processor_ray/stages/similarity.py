@@ -867,3 +867,32 @@ def cluster_medoids(ds: "ray.data.Dataset", dim: int, nlist: int = 16,
                         .to_numpy(np.int64),
                         "n_vectors": tot.to_numpy(np.int64)})
     return out.reset_index(drop=True)
+
+
+def quantize_batch(batch: pa.Table) -> pa.Table:
+    """Symmetric int8 quantization stats per embedding (the storage
+    step of a vector pipeline): scale = amax/127, q = round(x/scale).
+    Emits per-vector integer checksums (sum/min/max of the quantized
+    values) instead of the int8 payload so the result is scalar-
+    comparable against the SQL mirror; zero vectors quantize to all
+    zeros with scale 0."""
+    ids = batch.column("vec_id").to_numpy()
+    if len(ids) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "scale": pa.array([], pa.float64()),
+                         "qsum": pa.array([], pa.int64()),
+                         "qmin": pa.array([], pa.int64()),
+                         "qmax": pa.array([], pa.int64())})
+    m = _matrix(batch)
+    amax = np.abs(m).max(axis=1)
+    scale = amax / 127.0
+    safe = np.where(scale == 0, 1.0, scale)
+    q = np.rint(m / safe[:, None]).astype(np.int64)
+    q[scale == 0] = 0
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "scale": pa.array(scale, pa.float64()),
+        "qsum": pa.array(q.sum(axis=1), pa.int64()),
+        "qmin": pa.array(q.min(axis=1), pa.int64()),
+        "qmax": pa.array(q.max(axis=1), pa.int64()),
+    })

@@ -356,7 +356,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_repetition", "d_decontaminate", "g_source_cap",
            "g_rolling_count", "e_cluster_medoid", "h_pricing",
            "d_stratified_sample", "d_pack_offsets", "d_dedup_keep",
-           "d_curation"]
+           "d_curation", "g_funnel", "e_quantize"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -906,3 +906,46 @@ def test_curation_reason_precedence(ray_session):
     assert out.loc[1, "reject_reason"] == "too_short"
     assert out.loc[2, "reject_reason"] == "repetitive"
     assert (out["keep"] == 0).all()
+
+
+def test_funnel_block_ordered_semantics():
+    """Funnel stages must be reached IN ORDER: a purchase before the
+    first qualifying click does not count."""
+    from asserts_otel_processor_ray.stages.events import funnel_block
+    S = 1_000_000
+    rows = [
+        # user 1: view@10, click@20, purchase@30 -> stage 3
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: purchase@5 BEFORE view@10/click@20 -> stage 2
+        (2, 5, "purchase"), (2, 10, "view"), (2, 20, "click"),
+        # user 3: click@5 before view@10 -> stage 1 (view only)
+        (3, 5, "click"), (3, 10, "view"),
+        # user 4: no view -> stage 0
+        (4, 10, "click"), (4, 20, "purchase"),
+        # user 5: same-ts chain (ties inclusive) -> stage 3
+        (5, 7, "view"), (5, 7, "click"), (5, 7, "purchase"),
+    ]
+    batch = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] * S for r in rows],
+                                dtype="datetime64[us]"),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel_block(batch).to_pandas().set_index("user_id")["stage"]
+    assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
+def test_quantize_batch_semantics():
+    from asserts_otel_processor_ray.stages.similarity import (
+        quantize_batch)
+    batch = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, -2.0, 0.5], [0.0, 0.0, 0.0]],
+                              pa.list_(pa.float32())),
+    })
+    out = quantize_batch(batch).to_pandas().set_index("vec_id")
+    # amax=2 -> scale=2/127; q = rint(x*127/2) = [64, -127, 32]
+    assert out.loc[0, "qmax"] == 64 and out.loc[0, "qmin"] == -127
+    assert out.loc[0, "qsum"] == 64 - 127 + 32
+    assert out.loc[1, "scale"] == 0.0 and out.loc[1, "qsum"] == 0
