@@ -1185,6 +1185,14 @@ def q_quantize(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
 
 
+def q_chunk(sf_dir: str) -> pa.Table:
+    """Overlapping-window chunking (128-token windows, stride 96):
+    pure one-to-many map_batches explode, no shuffle."""
+    out = _docs(sf_dir).map_batches(T.chunk_batch,
+                                    batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -1229,6 +1237,7 @@ EXTRA_QUERIES = {
     "d_curation": q_curation,
     "g_funnel": q_funnel,
     "e_quantize": q_quantize,
+    "d_chunk": q_chunk,
 }
 
 
@@ -2065,4 +2074,26 @@ SELECT vec_id, scale,
   CAST(list_min(ql) AS BIGINT) AS qmin,
   CAST(list_max(ql) AS BIGINT) AS qmax
 FROM q""",
+})
+
+
+EXTRA_ORACLE_SQL.update({
+    "d_chunk": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+         AS BIGINT) AS n
+  FROM documents),
+c AS (SELECT doc_id, n,
+        CASE WHEN n <= 128 THEN 1
+             ELSE (n - 128 + 95) // 96 + 1 END AS nch
+      FROM t),
+u AS (SELECT doc_id, n,
+        unnest(generate_series(0, nch - 1)) AS j
+      FROM c)
+SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+  CAST(j * 96 AS BIGINT) AS start_tok,
+  CAST(least(j * 96 + 128, n) AS BIGINT) AS end_tok,
+  CAST(least(j * 96 + 128, n) - j * 96 AS BIGINT) AS n_chunk_tokens
+FROM u""",
 })

@@ -496,3 +496,32 @@ def decontam_counts(batch: pa.Table, sorted_grams: np.ndarray,
         hit = np.zeros(len(h), bool)
     nh = np.bincount(d[hit], minlength=batch.num_rows).astype(np.int64)
     return nd, nh
+
+
+def chunk_batch(batch: pa.Table, size: int = 128,
+                stride: int = 96) -> pa.Table:
+    """Overlapping-window document chunking (the RAG / training-window
+    split): windows of ``size`` tokens every ``stride`` tokens, last
+    window clipped; docs shorter than ``size`` emit one chunk.  Pure
+    one-to-many map_batches explode — no shuffle at any scale."""
+    ids = batch.column("doc_id").to_numpy()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch.column("text")), r"\s+")
+    nt = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    nch = np.where(nt <= size, 1,
+                   (nt - size + stride - 1) // stride + 1).astype(np.int64)
+    doc_rep = np.repeat(ids, nch)
+    nt_rep = np.repeat(nt, nch)
+    # chunk index within doc: global arange minus each doc's start
+    ends = np.cumsum(nch)
+    k = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+        - np.repeat(ends - nch, nch)
+    start = k * stride
+    end = np.minimum(start + size, nt_rep)
+    return pa.table({
+        "doc_id": pa.array(doc_rep, pa.int64()),
+        "chunk_idx": pa.array(k, pa.int64()),
+        "start_tok": pa.array(start, pa.int64()),
+        "end_tok": pa.array(end, pa.int64()),
+        "n_chunk_tokens": pa.array(end - start, pa.int64()),
+    })

@@ -356,7 +356,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_repetition", "d_decontaminate", "g_source_cap",
            "g_rolling_count", "e_cluster_medoid", "h_pricing",
            "d_stratified_sample", "d_pack_offsets", "d_dedup_keep",
-           "d_curation", "g_funnel", "e_quantize"]
+           "d_curation", "g_funnel", "e_quantize", "d_chunk"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -949,3 +949,18 @@ def test_quantize_batch_semantics():
     assert out.loc[0, "qmax"] == 64 and out.loc[0, "qmin"] == -127
     assert out.loc[0, "qsum"] == 64 - 127 + 32
     assert out.loc[1, "scale"] == 0.0 and out.loc[1, "qsum"] == 0
+
+
+def test_chunk_batch_window_math():
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        chunk_batch)
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [" ".join(["w"] * 300), "short doc here"]})
+    out = chunk_batch(b).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [0, 96, 192]
+    assert d1["end_tok"].tolist() == [128, 224, 300]
+    # every token is covered and consecutive chunks overlap by 32
+    assert d1["end_tok"].iloc[-1] == 300
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2["n_chunk_tokens"].iloc[0] == 3
