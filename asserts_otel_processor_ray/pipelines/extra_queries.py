@@ -793,6 +793,29 @@ DECONTAM_BROADCAST_BUDGET = 50_000_000   # benchmark grams the driver
 # (same shape as tfidf's join path), not a bigger broadcast.
 
 
+def _bench_grams_ref(docs: "ray.data.Dataset", w: int, mod: int):
+    """Collect the benchmark slice's distinct gram hashes and ray.put
+    them (the shared setup of q_decontaminate and q_curation).  The
+    budget is enforced on the DISTRIBUTED partial-row count (an upper
+    bound on the distinct grams) BEFORE anything lands on the driver —
+    materialize() keeps the partials in the object store so the count
+    does not re-tokenize."""
+    import ray as _ray
+    bench = docs.map_batches(
+        lambda b: T.bench_grams_partial(b, w, mod),
+        batch_format="pyarrow").materialize()
+    n_partial = int(bench.count())
+    if n_partial > DECONTAM_BROADCAST_BUDGET:
+        raise ValueError(
+            f"benchmark gram partials ({n_partial}) exceed the "
+            "broadcast budget — use a distributed gram join for this "
+            "corpus")
+    gdf = collect_df(bench)
+    g = (np.unique(gdf["gram"].to_numpy().astype(np.uint64))
+         if len(gdf) else np.array([], np.uint64))
+    return _ray.put(g)
+
+
 def q_decontaminate(sf_dir: str, w: int = 3, mod: int = 97) -> pa.Table:
     """Benchmark decontamination: flag corpus docs sharing >= 1
     distinct w-token shingle with the benchmark slice
@@ -800,19 +823,8 @@ def q_decontaminate(sf_dir: str, w: int = 3, mod: int = 97) -> pa.Table:
     by DECONTAM_BROADCAST_BUDGET) and broadcast via ray.put; the
     corpus pass is a stateless actor-pool membership test — documents
     never shuffle."""
-    import ray as _ray
     docs = _docs(sf_dir)
-    bench = docs.map_batches(
-        lambda b: T.bench_grams_partial(b, w, mod),
-        batch_format="pyarrow")
-    gdf = collect_df(bench)
-    g = (np.unique(gdf["gram"].to_numpy().astype(np.uint64))
-         if len(gdf) else np.array([], np.uint64))
-    if len(g) > DECONTAM_BROADCAST_BUDGET:
-        raise ValueError(
-            f"benchmark gram set ({len(g)}) exceeds the broadcast "
-            "budget — use a distributed gram join for this corpus")
-    ref = _ray.put(g)
+    ref = _bench_grams_ref(docs, w, mod)
     out = docs.map_batches(T.DecontaminateStage,
                            fn_constructor_args=(ref, w, mod),
                            batch_format="pyarrow", concurrency=(1, 8))
@@ -1031,7 +1043,7 @@ def q_pack_offsets(sf_dir: str, budget: int = PACK_SEQ_TOKENS,
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     slim = ds.map_batches(lambda b: _pack_tokens_batch(b, bucket_docs),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow").materialize()
     bsum = collect_df(slim.groupby("bucket").aggregate(Sum("n_tokens")))
     bsum = bsum.rename(columns={"sum(n_tokens)": "tok"}) \
         .sort_values("bucket", ignore_index=True)
@@ -1078,6 +1090,8 @@ def q_dedup_keep(sf_dir: str) -> pa.Table:
     import ray as _ray
     docs = _docs(sf_dir)
     cl = dedup_clusters(docs).to_pandas()
+    ids_only = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id"])
     drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"] \
         .to_numpy(np.int64)
     drop.sort()
@@ -1092,8 +1106,9 @@ def q_dedup_keep(sf_dir: str) -> pa.Table:
             keep = ~np.isin(ids, self.drop, assume_unique=False)
             return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
 
-    out = docs.map_batches(_Keep, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", concurrency=(1, 8))
+    out = ids_only.map_batches(_Keep, fn_constructor_args=(ref,),
+                               batch_format="pyarrow",
+                               concurrency=(1, 8))
     return _collect_table(out)
 
 
@@ -1120,13 +1135,14 @@ class _CurationStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        q = T.quality_batch(batch)
+        toks = T._tokens_series(batch.column("text"))   # tokenize ONCE
+        q = T.quality_batch(batch, toks)
         nt = q.column("n_tokens").to_numpy()
         score = q.column("quality_score").to_numpy()
-        rep = T.repetition_batch(batch, 2, self.cache) \
+        rep = T.repetition_batch(batch, 2, self.cache, toks) \
             .column("rep_ratio").to_numpy()
         nd, nh = T.decontam_counts(batch, self.grams, self.w,
-                                   self.cache)
+                                   self.cache, toks)
         contam = nh.astype(np.float64) / np.maximum(nd, 1)
         reason = np.full(len(ids), "", dtype=object)
         reason[score < CURATION_MIN_QUALITY] = "low_quality"
@@ -1147,15 +1163,8 @@ def q_curation(sf_dir: str) -> pa.Table:
     composite of the training-data operators: one benchmark-gram
     collection (bounded broadcast) + one corpus pass computing all
     signals; no shuffle anywhere."""
-    import ray as _ray
     docs = _docs(sf_dir)
-    bench = docs.map_batches(
-        lambda b: T.bench_grams_partial(b, 3, 97),
-        batch_format="pyarrow")
-    gdf = collect_df(bench)
-    g = (np.unique(gdf["gram"].to_numpy().astype(np.uint64))
-         if len(gdf) else np.array([], np.uint64))
-    ref = _ray.put(g)
+    ref = _bench_grams_ref(docs, 3, 97)
     out = docs.map_batches(_CurationStage, fn_constructor_args=(ref,),
                            batch_format="pyarrow", concurrency=(1, 8))
     return _collect_table(out)

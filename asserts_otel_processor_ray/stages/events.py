@@ -252,20 +252,33 @@ def rolling_count_block(batch: pa.Table,
     user = batch.column("user_id").to_numpy()
     ts = batch.column("ts").cast(pa.int64()).to_numpy()
     win_us = int(window_s * US)
-    # per-user runs: offset ts by run index * a huge stride so ONE
-    # global searchsorted respects user boundaries (ts spans are tiny
-    # vs int64; stride > global ts span keeps runs disjoint)
+    # per-user runs: offset ts by run index * a stride > span so ONE
+    # searchsorted respects user boundaries.  run * stride can exceed
+    # int64 when a block holds many users over a wide ts span, so the
+    # runs are processed in chunks of <= 2^62/stride runs (run index
+    # resets per chunk) — each chunk is one vectorized sweep and the
+    # row slices are contiguous after the sort.
     new_user = np.r_[True, user[1:] != user[:-1]]
     run = np.cumsum(new_user) - 1
+    n_runs = int(run[-1]) + 1
     stride = (int(ts.max()) - int(ts.min()) + win_us + 1) if len(ts) else 1
-    key = run * stride + (ts - int(ts.min()))
-    hi = np.searchsorted(key, key, side="right")
-    lo = np.searchsorted(key, key - win_us, side="left")
+    rel = ts - int(ts.min())
+    runs_per_chunk = max(1, (1 << 62) // stride)
+    counts = np.empty(len(ts), np.int64)
+    run_starts = np.flatnonzero(new_user)
+    for r0 in range(0, n_runs, runs_per_chunk):
+        a = run_starts[r0]
+        r1 = min(r0 + runs_per_chunk, n_runs)
+        b = run_starts[r1] if r1 < n_runs else len(ts)
+        key = (run[a:b] - r0) * stride + rel[a:b]
+        hi = np.searchsorted(key, key, side="right")
+        lo = np.searchsorted(key, key - win_us, side="left")
+        counts[a:b] = hi - lo
     return pa.table({
         "event_id": batch.column("event_id"),
         "user_id": batch.column("user_id"),
         "ts": batch.column("ts"),
-        "n_window": pa.array((hi - lo).astype(np.int64), pa.int64()),
+        "n_window": pa.array(counts, pa.int64()),
     })
 
 

@@ -814,13 +814,15 @@ def cluster_medoid_partial(batch: pa.Table,
     centroid (ties → lowest centroid id, numpy argmax first-max) and
     keep, per cluster, the batch's best (max cos, tie → lowest vec_id)
     vector plus the batch's member count.  The driver final merges
-    <= nlist rows per block — only ranks/ids are emitted, never raw
-    cosines (float summation order differs across engines)."""
+    <= nlist rows per block; best_cos rides only between the partial
+    and that merge (Ray-computed floats compared with each other) and
+    is dropped from the operator's result."""
     ids = batch.column("vec_id").to_numpy()
     if len(ids) == 0:
         return pa.table({"list_id": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
-                         "n_vectors": pa.array([], pa.int64())})
+                         "n_vectors": pa.array([], pa.int64()),
+                         "best_cos": pa.array([], pa.float64())})
     m = _normalize(_matrix(batch))
     cos = m @ centroids.T                  # (n, nlist), float64
     lid = cos.argmax(axis=1)

@@ -72,12 +72,15 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def quality_batch(batch: pa.Table) -> pa.Table:
+def quality_batch(batch: pa.Table,
+                  toks: pd.Series | None = None) -> pa.Table:
     """Quality heuristics: length, stopword ratio, type-token ratio and
     a blended score (deterministic arithmetic, shared with the oracle).
-    """
+    ``toks``: optional precomputed _tokens_series (the composite
+    curation stage tokenizes once and shares it)."""
     doc_id = batch.column("doc_id").to_numpy()
-    toks = _tokens_series(batch.column("text"))
+    if toks is None:
+        toks = _tokens_series(batch.column("text"))
     n_tokens = toks.str.len().to_numpy().astype(np.int64)
     ex = toks.explode()
     doc_of = ex.index.to_numpy()
@@ -390,12 +393,14 @@ class FingerprintStage:
 
 
 def _distinct_shingles(batch: pa.Table, w: int,
-                       cache: dict | None = None
+                       cache: dict | None = None,
+                       toks: pd.Series | None = None
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(hashes, doc_index, totals): per-doc DISTINCT w-token shingle
     hashes (lexsort + boundary diff — no Python per doc) plus the
     per-doc TOTAL (non-distinct) shingle count."""
-    toks = _tokens_series(batch.column("text"))
+    if toks is None:
+        toks = _tokens_series(batch.column("text"))
     hashes, docs = shingle_hashes(toks, w, cache)
     totals = np.bincount(docs, minlength=batch.num_rows).astype(np.int64)
     if len(hashes) == 0:
@@ -407,13 +412,14 @@ def _distinct_shingles(batch: pa.Table, w: int,
 
 
 def repetition_batch(batch: pa.Table, w: int = 2,
-                     cache: dict | None = None) -> pa.Table:
+                     cache: dict | None = None,
+                     toks: pd.Series | None = None) -> pa.Table:
     """Repetition-ratio quality signal: share of repeated w-token
     shingles per document (1 - distinct/total) — the classic
     "duplicate n-gram fraction" filter for boilerplate-heavy web text.
     Pure per-document map_batches: no shuffle at any scale."""
     doc_id = batch.column("doc_id").to_numpy()
-    h, d, totals = _distinct_shingles(batch, w, cache)
+    h, d, totals = _distinct_shingles(batch, w, cache, toks)
     distinct = np.bincount(d, minlength=batch.num_rows).astype(np.int64)
     safe = np.maximum(totals, 1)
     rep = 1.0 - distinct.astype(np.float64) / safe.astype(np.float64)
@@ -481,7 +487,8 @@ class DecontaminateStage:
         })
 
 def decontam_counts(batch: pa.Table, sorted_grams: np.ndarray,
-                    w: int = 3, cache: dict | None = None
+                    w: int = 3, cache: dict | None = None,
+                    toks: pd.Series | None = None
                     ) -> tuple[np.ndarray, np.ndarray]:
     """(n_distinct_grams, n_benchmark_hits) per batch row: the shared
     membership kernel of DecontaminateStage and the composite curation

@@ -964,3 +964,24 @@ def test_chunk_batch_window_math():
     assert d1["end_tok"].iloc[-1] == 300
     d2 = out[out["doc_id"] == 2]
     assert len(d2) == 1 and d2["n_chunk_tokens"].iloc[0] == 3
+
+
+def test_rolling_count_wide_span_many_users_no_overflow():
+    """Regression: many users x a multi-year ts span used to overflow
+    the run*stride searchsorted key (int64 wrap -> garbage counts);
+    the chunked sweep must return exact counts."""
+    from asserts_otel_processor_ray.stages.events import (
+        rolling_count_block)
+    n_users = 200_000
+    span_us = 3 * 365 * 24 * 3600 * 1_000_000          # ~3 years
+    user = np.repeat(np.arange(n_users, dtype=np.int64), 2)
+    # two events per user: one at each span edge -> window never
+    # bridges them, every count must be exactly 1
+    ts = np.tile(np.array([0, span_us], np.int64), n_users)
+    batch = pa.table({
+        "event_id": pa.array(np.arange(len(user)), pa.int64()),
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+    })
+    out = rolling_count_block(batch, window_s=1800.0)
+    assert (out.column("n_window").to_numpy() == 1).all()
