@@ -1027,21 +1027,25 @@ def _pack_tokens_batch(batch: pa.Table,
 
 
 def q_pack_offsets(sf_dir: str, budget: int = PACK_SEQ_TOKENS,
-                   bucket_docs: int = PACK_BUCKET_DOCS) -> pa.Table:
+                   bucket_docs: int | None = None) -> pa.Table:
     """Token-offset packing for training sequences: every document's
     global start offset in the doc_id-ordered token stream, and the
     sequence (of ``budget`` tokens) it starts in.  Distributed prefix
     sum: (1) per-batch bucket partials -> distributed
-    groupby(bucket).sum -> bounded driver prefix (one row per
-    PACK_BUCKET_DOCS ids); (2) ONE hash repartition by bucket +
-    per-block bucket-local cumsum + the broadcast bucket offset.
-    Exact integer arithmetic; result independent of blocking and of
-    the bucket width."""
+    groupby(bucket).sum -> bounded driver prefix; (2) ONE hash
+    repartition by bucket + per-block bucket-local cumsum + the
+    broadcast bucket offset.  Exact integer arithmetic; result
+    independent of blocking and of the bucket width (test-pinned), so
+    the default width scales with the corpus to keep the driver's
+    prefix table <= ~64k rows at any size."""
     import ray as _ray
     from ray.data.aggregate import Sum
     from ray.data.context import ShuffleStrategy
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    if bucket_docs is None:
+        bucket_docs = max(PACK_BUCKET_DOCS,
+                          -(-int(ds.count()) // 65_536))
     slim = ds.map_batches(lambda b: _pack_tokens_batch(b, bucket_docs),
                           batch_format="pyarrow").materialize()
     bsum = collect_df(slim.groupby("bucket").aggregate(Sum("n_tokens")))
