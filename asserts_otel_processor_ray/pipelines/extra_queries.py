@@ -1206,6 +1206,275 @@ def q_chunk(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(collect_df(out), preserve_index=False)
 
 
+# ---- round-5 additions: payload extraction, exact distinct counts,
+# ---- a 3-table join, corpus-LM commonness --------------------------------
+
+def q_props_extract(sf_dir: str) -> pa.Table:
+    """Semi-structured payload extraction + aggregation: pull the
+    integer ``k`` from every event's JSON-ish props string with one
+    vectorized RE2 extract, pre-reduce per batch, distributed
+    groupby(event_type) final.  Exact int64 arithmetic end-to-end."""
+    from ray.data.aggregate import Max, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    part = ds.map_batches(E.props_extract_partial,
+                          batch_format="pyarrow")
+    agg = part.groupby("event_type").aggregate(
+        Sum("sum_k"), Max("max_k"), Sum("n_events"))
+    df = collect_df(agg)
+    df.columns = ["event_type", "sum_k", "max_k", "n_events"]
+    for c in ("sum_k", "max_k", "n_events"):
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact distributed COUNT(DISTINCT user_id) per event_type: a
+    per-batch (event_type, user_id) dedupe partial → distributed
+    groupby(pair).sum (each distinct pair lands exactly once) → a slim
+    (type, 1, count) projection → tiny groupby(event_type) final.  The
+    driver never holds O(distinct users) rows; the wide exchange moves
+    distinct pairs, not raw events."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    part = ds.map_batches(E.distinct_pairs_partial,
+                          batch_format="pyarrow")
+    pairs = part.groupby(["event_type", "user_id"]).aggregate(
+        Sum("pair_count"))
+
+    def _slim(t: pa.Table) -> pa.Table:
+        if t.num_columns != 3:       # empty aggregate block
+            return t
+        return pa.table({
+            "event_type": t.column(0),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "cnt": t.column(2).cast(pa.int64()),
+        })
+
+    final = pairs.map_batches(_slim, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("one"), Sum("cnt"))
+    df = collect_df(final)
+    df.columns = ["event_type", "distinct_users", "n_events"]
+    for c in ("distinct_users", "n_events"):
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# TPC-H-Q3-style parameters over the synthetic tables
+Q3_CUTOFF = "1998-06-01 00:00:00"
+_Q3_CUTOFF_US = int(pd.Timestamp(Q3_CUTOFF).value // 1000)
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def _q3_line_partial(batch: pa.Table) -> pa.Table:
+    """lineitem → per-batch (l_orderkey, du) revenue partials in exact
+    discounted-price units (1e-4 dollars — the h_pricing integer
+    idiom), shipped-after-cutoff rows only."""
+    ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+    keep = ship > _Q3_CUTOFF_US
+    key = batch.column("l_orderkey").to_numpy()[keep]
+    pc_ = np.rint(batch.column("l_extendedprice").to_numpy()[keep]
+                  * 100).astype(np.int64)
+    dc = np.rint(batch.column("l_discount").to_numpy()[keep]
+                 * 100).astype(np.int64)
+    g = pd.DataFrame({"l_orderkey": key, "du": pc_ * (100 - dc)}) \
+        .groupby("l_orderkey", sort=False).sum().reset_index()
+    return pa.table({
+        "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+        "du": pa.array(g["du"].to_numpy(), pa.int64()),
+    })
+
+
+def _q3_topk_block(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-block top-k by (revenue desc, orderkey asc) — blocks of the
+    revenue aggregate are disjoint by orderkey, so block-local top-k +
+    a driver final is exact."""
+    if df.empty:
+        return df
+    df = df.sort_values(["du", "o_orderkey"], ascending=[False, True],
+                        kind="mergesort")
+    return df.head(k)
+
+
+def q_q3_topk(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-style 3-table join: customers in one market segment ⋈
+    their pre-cutoff orders ⋈ post-cutoff lineitem revenue, top-10
+    orders by revenue.  Shape for 100 TB: lineitem (the big fan-in
+    side) is pre-reduced per batch THEN distributed-groupby-summed per
+    orderkey BEFORE any join; the segment filter is pushed into the
+    customer scan; both joins are native hash joins; the final top-10
+    is two-phase (per-block → driver); the two dim columns for the 10
+    winners come from a 10-key pruned parquet read, not the wide
+    join payload."""
+    import pyarrow.compute as apc
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(apc.equal(t.column("c_mktsegment"),
+                                     Q3_SEGMENT)).select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(apc.less(
+            t.column("o_orderdate").cast(pa.int64()),
+            _Q3_CUTOFF_US)).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_shipdate",
+                                          "l_extendedprice",
+                                          "l_discount"])
+    nparts = shuffle_width(line.count())
+    for ds in (cust, orders, line):
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    # one exchange in flight at a time: each shuffle op spawns its own
+    # aggregator-actor pool, and three concurrent pools starve each
+    # other on small CPU counts (and needlessly contend on big ones) —
+    # the materialized intermediates are pre-reduced slim key tables
+    # (orderkeys + one int), object-store-resident and spillable
+    rev = line.map_batches(_q3_line_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("du"))
+    rev = rev.map_batches(
+        lambda t: (t.rename_columns(["l_orderkey", "du"])
+                   if t.num_columns == 2 else t),
+        batch_format="pyarrow").materialize()
+    eligible = orders.join(cust, join_type="inner",
+                           num_partitions=nparts,
+                           on=("o_custkey",), right_on=("c_custkey",)) \
+        .materialize()
+    joined = eligible.join(rev, join_type="inner",
+                           num_partitions=nparts,
+                           on=("o_orderkey",), right_on=("l_orderkey",))
+    topped = joined.map_batches(
+        lambda d: _q3_topk_block(d[["o_orderkey", "du"]], Q3_TOPK),
+        batch_format="pandas")
+    top = _q3_topk_block(collect_df(topped), Q3_TOPK)
+    if top.empty:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "o_orderpriority": pa.array([], pa.string())})
+    keys = top["o_orderkey"].to_numpy(np.int64)
+    dims = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderkey").isin(keys)).to_pandas()
+    out = top.merge(dims, on="o_orderkey", how="left")
+    out["revenue"] = np.array([float(v) for v in out["du"]]) / 10000.0
+    return pa.Table.from_pandas(
+        out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]],
+        preserve_index=False)
+
+
+# unigram-LM commonness bounds — the tfidf treatment: only tokens with
+# corpus count >= 2 ship (count==1 reconstructed exactly); beyond the
+# broadcast budget the fully distributed token-join path runs.
+UNIGRAM_MIN_C = 2
+UNIGRAM_BROADCAST_BUDGET = 2_000_000
+
+
+class _UnigramMassStage:
+    """Actor-pool stage: per-doc commonness mass against the broadcast
+    corpus term-count slice — tokens absent from the slice have corpus
+    count == 1 by construction, so the reconstruction is exact."""
+
+    def __init__(self, ref):
+        import ray as _ray
+        self.cmap = _ray.get(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        toks = T._tokens_series(batch.column("text"))
+        ex = toks.explode().dropna()     # empty docs drop (as in SQL)
+        c = ex.map(self.cmap).fillna(1).to_numpy().astype(np.int64)
+        g = pd.DataFrame({"d": ex.index.to_numpy(), "c": c,
+                          "one": np.ones(len(c), np.int64)}) \
+            .groupby("d", sort=False).sum()
+        d_idx = g.index.to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_id[d_idx], pa.int64()),
+            "tf_mass": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["one"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+
+def _unigram_join_path(docs, cntds) -> pa.Table:
+    """Fully distributed commonness: (doc, token, tf) long rows join
+    the corpus term-count table by token, then a distributed
+    groupby(doc_id) sums mass and token count — no driver- or
+    broadcast-held vocabulary.  Identical output to the broadcast
+    path (test-pinned)."""
+    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
+    nparts = shuffle_width(docs.count() * 32)
+    long = docs.map_batches(T.tf_long_batch, batch_format="pyarrow")
+    long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    long.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    joined = long.join(cntds, join_type="inner", num_partitions=nparts,
+                       on=("token",))
+
+    def _mass(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "mass": pa.array(
+                tf * t.column("c").to_numpy().astype(np.int64),
+                pa.int64()),
+            "ntok": pa.array(tf, pa.int64()),
+        })
+
+    agg = joined.map_batches(_mass, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("mass"), Sum("ntok"))
+    df = collect_df(agg)
+    df.columns = ["doc_id", "tf_mass", "n_tokens"]
+    for c in ("tf_mass", "n_tokens"):
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def unigram_mass(docs,
+                 broadcast_budget: int = UNIGRAM_BROADCAST_BUDGET
+                 ) -> pa.Table:
+    """Corpus-LM commonness per document: tf_mass = Σ over the doc's
+    token instances of that token's total corpus count — the exact
+    integer core of count-based perplexity filtering (the float score
+    tf_mass/n_tokens is one division away; keeping integers makes the
+    oracle bitwise).  Distributed term-count build, min-count-bounded
+    broadcast (count==1 reconstructed), distributed join beyond the
+    budget."""
+    from ray.data.aggregate import Sum
+    part = docs.map_batches(T.term_count_partial, batch_format="pyarrow")
+    agg = part.groupby("token").aggregate(Sum("partial_c")).map_batches(
+        lambda t: (t.rename_columns(["token", "c"])
+                   if t.num_columns == 2 else t),
+        batch_format="pyarrow").materialize()
+    kept = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(
+            t.column("c"), UNIGRAM_MIN_C)),
+        batch_format="pyarrow")
+    if int(kept.count()) > broadcast_budget:
+        return _unigram_join_path(docs, agg)
+    dfd = collect_df(kept)
+    assert len(dfd) <= broadcast_budget   # the driver-held-rows pin
+    cmap = (dfd.set_index("token")["c"] if not dfd.empty
+            else pd.Series(dtype=np.int64))  # all-hapax corpus
+    ref = ray.put(cmap)
+    out = docs.map_batches(_UnigramMassStage, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 4))
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_unigram_lm(sf_dir: str) -> pa.Table:
+    return unigram_mass(_docs(sf_dir))
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -1251,6 +1520,10 @@ EXTRA_QUERIES = {
     "g_funnel": q_funnel,
     "e_quantize": q_quantize,
     "d_chunk": q_chunk,
+    "g_props_extract": q_props_extract,
+    "g_distinct_users": q_distinct_users,
+    "h_q3_topk": q_q3_topk,
+    "d_unigram_lm": q_unigram_lm,
 }
 
 
@@ -2109,4 +2382,55 @@ SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
   CAST(least(j * 96 + 128, n) AS BIGINT) AS end_tok,
   CAST(least(j * 96 + 128, n) - j * 96 AS BIGINT) AS n_chunk_tokens
 FROM u""",
+})
+
+
+EXTRA_ORACLE_SQL.update({
+    # RE2 on both sides: Arrow extract_regex == DuckDB regexp_extract
+    "g_props_extract": r"""
+SELECT event_type,
+  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+               AS BIGINT)) AS BIGINT) AS sum_k,
+  max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+           AS BIGINT)) AS max_k,
+  count(*) AS n_events
+FROM events GROUP BY event_type""",
+    "g_distinct_users": """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+  count(*) AS n_events
+FROM events GROUP BY event_type""",
+    "h_q3_topk": f"""
+WITH li AS (
+  SELECT l_orderkey,
+    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             AS HUGEINT)) AS sdu
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+  GROUP BY 1),
+o AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}')
+SELECT o.o_orderkey,
+  CAST(li.sdu AS DOUBLE) / 10000.0 AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT {Q3_TOPK}""",
+    # every token instance joins the corpus term-count table exactly
+    # once, so sum(c) is the commonness mass with multiplicity
+    "d_unigram_lm": r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w)
+SELECT t.doc_id,
+  CAST(sum(c.c) AS BIGINT) AS tf_mass,
+  count(*) AS n_tokens
+FROM tok t JOIN cnt c ON t.w = c.w
+GROUP BY t.doc_id""",
 })

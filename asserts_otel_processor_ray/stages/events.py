@@ -94,6 +94,55 @@ def count_topk_partial(batch: pa.Table) -> pa.Table:
     return gb.rename_columns(["event_type", "user_id", "partial_count"])
 
 
+# the integer property every synthetic event carries in its JSON-ish
+# props payload; RE2 syntax so Arrow's extract_regex and DuckDB's
+# regexp_extract (both RE2) agree byte-for-byte
+PROPS_K_PATTERN = '"k":\\s*(?P<k>-?\\d+)'
+
+
+def props_extract_partial(batch: pa.Table) -> pa.Table:
+    """Semi-structured payload extraction + per-type partial: pull the
+    integer ``k`` out of the JSON-ish ``props`` string with ONE
+    vectorized RE2 extract (no JSON library in the hot path — the
+    log-pipeline "parse a payload field, then aggregate" shape), then
+    reduce the batch to (event_type, sum_k, max_k, n_events) exact
+    int64 partials for the distributed groupby final."""
+    import pyarrow.compute as pc
+    ext = pc.extract_regex(batch.column("props"), PROPS_K_PATTERN)
+    if ext.null_count:
+        raise ValueError(
+            f"{ext.null_count} props rows without an integer 'k' "
+            "property — the oracle's CAST would fail on them too")
+    k = pc.struct_field(ext, "k").cast(pa.int64())
+    df = pd.DataFrame({
+        "event_type": batch.column("event_type").to_numpy(
+            zero_copy_only=False),
+        "k": k.to_numpy(),
+    })
+    g = df.groupby("event_type", sort=False)["k"] \
+        .agg(sum_k="sum", max_k="max", n_events="size").reset_index()
+    return pa.table({
+        "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+        "sum_k": pa.array(g["sum_k"].to_numpy(np.int64), pa.int64()),
+        "max_k": pa.array(g["max_k"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(g["n_events"].to_numpy(np.int64),
+                             pa.int64()),
+    })
+
+
+def distinct_pairs_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial for exact distributed COUNT(DISTINCT user_id)
+    per event_type: dedupe (event_type, user_id) within the batch,
+    keeping the pair's row count — the distributed
+    groupby(pair).sum final yields each distinct pair exactly once, so
+    a second (tiny) groupby(event_type) counts distincts exactly.  The
+    per-batch dedupe is the pre-aggregation that keeps the pair
+    exchange proportional to distinct pairs, not raw rows."""
+    gb = batch.select(["event_type", "user_id"]).group_by(
+        ["event_type", "user_id"]).aggregate([([], "count_all")])
+    return gb.rename_columns(["event_type", "user_id", "pair_count"])
+
+
 # ---- deterministic hash sampling ------------------------------------------
 #
 # Sampling at 100 TB must be a pure per-batch filter (zero shuffle,

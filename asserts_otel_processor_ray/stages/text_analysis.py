@@ -347,6 +347,21 @@ def doc_freq_partial(batch: pa.Table) -> pa.Table:
     })
 
 
+def term_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch corpus term-count partial: total occurrences (WITH
+    multiplicity — vs doc_freq_partial's distinct-per-doc counts) of
+    every token in the batch.  The distributed groupby(token).sum
+    final is the corpus unigram table a count-based language model /
+    commonness scorer needs."""
+    toks = _tokens_series(batch.column("text"))
+    vc = toks.explode().value_counts()  # NaN (empty list) drops
+    return pa.table({
+        "token": pa.array(vc.index.to_numpy(), pa.string()),
+        "partial_c": pa.array(vc.to_numpy().astype(np.int64),
+                              pa.int64()),
+    })
+
+
 def tf_long_batch(batch: pa.Table) -> pa.Table:
     """Per-batch (doc_id, token, tf) long rows — exact term frequency
     per document (documents never span batches, so per-batch counting

@@ -356,7 +356,9 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_repetition", "d_decontaminate", "g_source_cap",
            "g_rolling_count", "e_cluster_medoid", "h_pricing",
            "d_stratified_sample", "d_pack_offsets", "d_dedup_keep",
-           "d_curation", "g_funnel", "e_quantize", "d_chunk"]
+           "d_curation", "g_funnel", "e_quantize", "d_chunk",
+           "g_props_extract", "g_distinct_users", "h_q3_topk",
+           "d_unigram_lm"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -621,6 +623,37 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
     a = _norm(tfidf_top(docs).to_pandas())
     b = _norm(tfidf_top(docs, broadcast_budget=0).to_pandas())
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_unigram_join_path_matches_broadcast(ray_session):
+    """The commonness scorer's fully distributed token-join path (the
+    beyond-budget scale path) must equal the bounded-broadcast path
+    exactly — same treatment as tf-idf."""
+    import ray
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        unigram_mass)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = _norm(unigram_mass(docs).to_pandas())
+    b = _norm(unigram_mass(docs, broadcast_budget=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_props_extract_rejects_missing_k():
+    """A props row without an integer 'k' must raise (the oracle's
+    CAST would fail on it too) rather than silently skewing sums."""
+    import pyarrow as pa
+    from asserts_otel_processor_ray.stages.events import (
+        props_extract_partial)
+    bad = pa.table({"event_type": ["view"], "props": ['{"z": 1}']})
+    with pytest.raises(ValueError, match="without an integer 'k'"):
+        props_extract_partial(bad)
+    good = props_extract_partial(
+        pa.table({"event_type": ["view", "view", "click"],
+                  "props": ['{"k": 3}', '{"k": -2}', '{"k": 10}']}))
+    d = good.to_pandas().set_index("event_type")
+    assert d.loc["view", "sum_k"] == 1 and d.loc["view", "max_k"] == 3
+    assert d.loc["click", "n_events"] == 1
 
 
 def test_tfidf_min_df_reconstruction(ray_session):
