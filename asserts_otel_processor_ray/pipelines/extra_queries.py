@@ -1475,6 +1475,100 @@ def q_unigram_lm(sf_dir: str) -> pa.Table:
     return unigram_mass(_docs(sf_dir))
 
 
+def q_semi_join(sf_dir: str) -> pa.Table:
+    """Broadcast semi-join: restrict the event stream to users who ever
+    purchased, then aggregate per type.  The buyer set is built by a
+    distributed dedupe of the (pre-filtered, column-pruned) purchase
+    scan, broadcast ONCE via ray.put as a sorted int64 array, and
+    probed per batch with searchsorted — the scale alternative to
+    shuffling the full stream through a hash join when the filter side
+    is small (the classic broadcast-semi-join pattern; beyond driver
+    memory the g_distinct_users pair-shuffle shape applies)."""
+    import pyarrow.compute as apc
+    from ray.data.aggregate import Sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    buyers_part = ev.map_batches(
+        lambda t: pa.table({"user_id": apc.unique(
+            t.filter(apc.equal(t.column("event_type"),
+                               "purchase")).column("user_id"))}),
+        batch_format="pyarrow")
+    buyers = np.sort(np.unique(
+        collect_df(buyers_part)["user_id"].to_numpy(np.int64)))
+    ref = ray.put(buyers)
+
+    class _SemiJoinStage:
+        def __init__(self, r):
+            import ray as _ray
+            self.keys = _ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t.column("user_id").to_numpy()
+            pos = np.searchsorted(self.keys, u)
+            pos[pos == len(self.keys)] = 0
+            keep = (len(self.keys) > 0) & (self.keys[pos] == u)
+            return E.distinct_pairs_partial(
+                t.filter(pa.array(keep)))
+
+    pairs = ev.map_batches(_SemiJoinStage, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 4)) \
+        .groupby(["event_type", "user_id"]).aggregate(Sum("pair_count"))
+
+    def _slim(t: pa.Table) -> pa.Table:
+        if t.num_columns != 3:
+            return t
+        return pa.table({
+            "event_type": t.column(0),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "cnt": t.column(2).cast(pa.int64()),
+        })
+
+    final = pairs.map_batches(_slim, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("one"), Sum("cnt"))
+    df = collect_df(final)
+    df.columns = ["event_type", "distinct_users", "n_events"]
+    for c in ("distinct_users", "n_events"):
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def q_tumbling(sf_dir: str) -> pa.Table:
+    """Tumbling 1-day event-time windows per event type: per-batch
+    (type, day) partials → ONE distributed two-key groupby final.
+    Counts are exact integers; max is order-independent, so the float
+    column is oracle-exact too (vs an order-dependent float sum)."""
+    from ray.data.aggregate import Max, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "day_us": ts - ts % _DAY_US,
+            "value": t.column("value").to_numpy(),
+        }).groupby(["event_type", "day_us"], sort=False)["value"] \
+            .agg(n_events="size", max_value="max").reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day_us"]).aggregate(
+            Sum("n_events"), Max("max_value"))
+    df = collect_df(agg)
+    df.columns = ["event_type", "day_us", "n_events", "max_value"]
+    df["day"] = pd.to_datetime(df.pop("day_us"), unit="us") \
+        .astype("datetime64[us]")
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(
+        df[["event_type", "day", "n_events", "max_value"]],
+        preserve_index=False)
+
+
 EXTRA_QUERIES = {
     "d_exact_dedup": q_exact_dedup,
     "d_token_stats": q_token_stats,
@@ -1524,6 +1618,8 @@ EXTRA_QUERIES = {
     "g_distinct_users": q_distinct_users,
     "h_q3_topk": q_q3_topk,
     "d_unigram_lm": q_unigram_lm,
+    "g_semi_join": q_semi_join,
+    "g_tumbling": q_tumbling,
 }
 
 
@@ -2433,4 +2529,16 @@ SELECT t.doc_id,
   count(*) AS n_tokens
 FROM tok t JOIN cnt c ON t.w = c.w
 GROUP BY t.doc_id""",
+    "g_semi_join": """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+  count(*) AS n_events
+FROM events
+WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')
+GROUP BY event_type""",
+    "g_tumbling": """
+SELECT event_type, date_trunc('day', ts) AS day,
+  count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY 1, 2""",
 })
