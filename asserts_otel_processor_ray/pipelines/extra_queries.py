@@ -1228,37 +1228,62 @@ def q_props_extract(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _distinct_block_final(df: pd.DataFrame) -> pd.DataFrame:
+    """Block kernel for COUNT(DISTINCT user_id): rows are
+    hash-partitioned by user_id, so every (event_type, user_id) pair
+    is fully contained in this block — a block-local pair dedupe THEN
+    per-type rollup is globally exact (5 × blocks partial rows reach
+    the driver)."""
+    if df.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "distinct_users": pd.Series(dtype=np.int64),
+                             "n_events": pd.Series(dtype=np.int64)})
+    g = df.groupby(["event_type", "user_id"], sort=False,
+                   as_index=False)["pair_count"].sum()
+    out = g.groupby("event_type", sort=False).agg(
+        distinct_users=("user_id", "size"),
+        n_events=("pair_count", "sum")).reset_index()
+    for c in ("distinct_users", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _distinct_users_final(parted) -> pa.Table:
+    """parted: (event_type, user_id, pair_count) partials
+    hash-partitioned by user_id → block kernel → tiny exact driver
+    merge (types × blocks rows)."""
+    out = parted.map_batches(_distinct_block_final,
+                             batch_format="pandas", batch_size=None)
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "distinct_users": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    m = df.groupby("event_type", sort=True, as_index=False).sum()
+    for c in ("distinct_users", "n_events"):
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
 def q_distinct_users(sf_dir: str) -> pa.Table:
     """Exact distributed COUNT(DISTINCT user_id) per event_type: a
-    per-batch (event_type, user_id) dedupe partial → distributed
-    groupby(pair).sum (each distinct pair lands exactly once) → a slim
-    (type, 1, count) projection → tiny groupby(event_type) final.  The
-    driver never holds O(distinct users) rows; the wide exchange moves
-    distinct pairs, not raw events."""
-    from ray.data.aggregate import Sum
+    per-batch (event_type, user_id) dedupe partial → ONE hash
+    repartition by user_id → block-local dedupe + per-type rollup →
+    tiny exact driver merge.  The driver never holds O(distinct users)
+    rows; the single wide exchange moves pre-deduped pairs, not raw
+    events (one repartition + block kernel instead of two
+    groupby.aggregate pools — the measured-faster shape for ~100k
+    groups)."""
+    from ray.data.context import ShuffleStrategy
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
+    nparts = shuffle_width(ds.count())
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
     part = ds.map_batches(E.distinct_pairs_partial,
                           batch_format="pyarrow")
-    pairs = part.groupby(["event_type", "user_id"]).aggregate(
-        Sum("pair_count"))
-
-    def _slim(t: pa.Table) -> pa.Table:
-        if t.num_columns != 3:       # empty aggregate block
-            return t
-        return pa.table({
-            "event_type": t.column(0),
-            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
-            "cnt": t.column(2).cast(pa.int64()),
-        })
-
-    final = pairs.map_batches(_slim, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Sum("one"), Sum("cnt"))
-    df = collect_df(final)
-    df.columns = ["event_type", "distinct_users", "n_events"]
-    for c in ("distinct_users", "n_events"):
-        df[c] = df[c].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    parted = part.repartition(num_blocks=nparts, keys=["user_id"])
+    return _distinct_users_final(parted)
 
 
 # TPC-H-Q3-style parameters over the synthetic tables
@@ -1302,15 +1327,14 @@ def q_q3_topk(sf_dir: str) -> pa.Table:
     """TPC-H-Q3-style 3-table join: customers in one market segment ⋈
     their pre-cutoff orders ⋈ post-cutoff lineitem revenue, top-10
     orders by revenue.  Shape for 100 TB: lineitem (the big fan-in
-    side) is pre-reduced per batch THEN distributed-groupby-summed per
-    orderkey BEFORE any join; the segment filter is pushed into the
-    customer scan; both joins are native hash joins; the final top-10
-    is two-phase (per-block → driver); the two dim columns for the 10
-    winners come from a 10-key pruned parquet read, not the wide
-    join payload."""
+    side) is pre-reduced per batch THEN repartition+block-kernel
+    summed per orderkey BEFORE any join; the segment filter is pushed
+    into the customer scan; both joins are native hash joins; the
+    final top-10 is two-phase (per-block → driver); the two dim
+    columns for the 10 winners come from a 10-key pruned parquet
+    read, not the wide join payload."""
     import pyarrow.compute as apc
     import pyarrow.dataset as pads
-    from ray.data.aggregate import Sum
     from ray.data.context import ShuffleStrategy
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
@@ -1338,13 +1362,19 @@ def q_q3_topk(sf_dir: str) -> pa.Table:
     # aggregator-actor pool, and three concurrent pools starve each
     # other on small CPU counts (and needlessly contend on big ones) —
     # the materialized intermediates are pre-reduced slim key tables
-    # (orderkeys + one int), object-store-resident and spillable
+    # (orderkeys + one int), object-store-resident and spillable.
+    # The revenue rollup is repartition + block kernel, not
+    # groupby.aggregate: ~130k orderkey groups at sf0.1 is past the
+    # measured ~40k-group boundary where the block kernel wins
+    # (measured 3.7 s vs 12.5 s here).
+    def _rev_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", sort=False,
+                          as_index=False)["du"].sum()
+
     rev = line.map_batches(_q3_line_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("du"))
-    rev = rev.map_batches(
-        lambda t: (t.rename_columns(["l_orderkey", "du"])
-                   if t.num_columns == 2 else t),
-        batch_format="pyarrow").materialize()
+        .repartition(num_blocks=nparts, keys=["l_orderkey"]) \
+        .map_batches(_rev_block, batch_format="pandas",
+                     batch_size=None).materialize()
     eligible = orders.join(cust, join_type="inner",
                            num_partitions=nparts,
                            on=("o_custkey",), right_on=("c_custkey",)) \
@@ -1485,7 +1515,7 @@ def q_semi_join(sf_dir: str) -> pa.Table:
     is small (the classic broadcast-semi-join pattern; beyond driver
     memory the g_distinct_users pair-shuffle shape applies)."""
     import pyarrow.compute as apc
-    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
     buyers_part = ev.map_batches(
@@ -1510,26 +1540,13 @@ def q_semi_join(sf_dir: str) -> pa.Table:
             return E.distinct_pairs_partial(
                 t.filter(pa.array(keep)))
 
-    pairs = ev.map_batches(_SemiJoinStage, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", concurrency=(1, 4)) \
-        .groupby(["event_type", "user_id"]).aggregate(Sum("pair_count"))
-
-    def _slim(t: pa.Table) -> pa.Table:
-        if t.num_columns != 3:
-            return t
-        return pa.table({
-            "event_type": t.column(0),
-            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
-            "cnt": t.column(2).cast(pa.int64()),
-        })
-
-    final = pairs.map_batches(_slim, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Sum("one"), Sum("cnt"))
-    df = collect_df(final)
-    df.columns = ["event_type", "distinct_users", "n_events"]
-    for c in ("distinct_users", "n_events"):
-        df[c] = df[c].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    nparts = shuffle_width(ev.count())
+    ev.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ev.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    part = ev.map_batches(_SemiJoinStage, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+    parted = part.repartition(num_blocks=nparts, keys=["user_id"])
+    return _distinct_users_final(parted)
 
 
 _DAY_US = 86_400 * 1_000_000
