@@ -1550,6 +1550,61 @@ def q_semi_join(sf_dir: str) -> pa.Table:
 
 
 _DAY_US = 86_400 * 1_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+def q_retention(sf_dir: str) -> pa.Table:
+    """Weekly cohort retention: per epoch-aligned 7-day bucket, the
+    number of distinct active users and how many of them are active
+    again in the NEXT bucket.  Per-batch (user, week) dedupe → ONE
+    hash repartition by user_id → block kernel (each user's full week
+    set is block-local, so the week+1 membership test needs no second
+    exchange) → tiny exact driver merge (weeks × blocks rows).
+    Epoch-aligned integer buckets mirror the SQL exactly — no calendar
+    week semantics to disagree on."""
+    from ray.data.context import ShuffleStrategy
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    nparts = shuffle_width(ds.count())
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+
+    def _uw_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        g = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "week_bucket": ts // _WEEK_US,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _block_final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "week_bucket": pd.Series(dtype=np.int64),
+                "n_active": pd.Series(dtype=np.int64),
+                "n_retained": pd.Series(dtype=np.int64)})
+        d = df.drop_duplicates().sort_values(
+            ["user_id", "week_bucket"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        w = d["week_bucket"].to_numpy(np.int64)
+        retained = np.r_[(u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1),
+                         False]
+        out = pd.DataFrame({"week_bucket": w,
+                            "one": np.ones(len(w), np.int64),
+                            "ret": retained.astype(np.int64)}) \
+            .groupby("week_bucket", sort=False, as_index=False).sum()
+        return out.rename(columns={"one": "n_active",
+                                   "ret": "n_retained"})
+
+    parted = ds.map_batches(_uw_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(_block_final, batch_format="pandas",
+                             batch_size=None)
+    df = collect_df(out)
+    m = df.groupby("week_bucket", sort=True, as_index=False).sum()
+    for c in ("week_bucket", "n_active", "n_retained"):
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
 
 
 def q_tumbling(sf_dir: str) -> pa.Table:
@@ -1637,6 +1692,7 @@ EXTRA_QUERIES = {
     "d_unigram_lm": q_unigram_lm,
     "g_semi_join": q_semi_join,
     "g_tumbling": q_tumbling,
+    "g_retention": q_retention,
 }
 
 
@@ -2558,4 +2614,18 @@ GROUP BY event_type""",
 SELECT event_type, date_trunc('day', ts) AS day,
   count(*) AS n_events, max(value) AS max_value
 FROM events GROUP BY 1, 2""",
+    "g_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+  FROM events),
+r AS (
+  SELECT a.wk, count(*) AS n_retained
+  FROM uw a JOIN uw b
+    ON a.user_id = b.user_id AND b.wk = a.wk + 1
+  GROUP BY a.wk),
+act AS (SELECT wk, count(*) AS n_active FROM uw GROUP BY wk)
+SELECT act.wk AS week_bucket, act.n_active,
+  CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained
+FROM act LEFT JOIN r ON act.wk = r.wk""",
 })

@@ -358,7 +358,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_stratified_sample", "d_pack_offsets", "d_dedup_keep",
            "d_curation", "g_funnel", "e_quantize", "d_chunk",
            "g_props_extract", "g_distinct_users", "h_q3_topk",
-           "d_unigram_lm", "g_semi_join", "g_tumbling"]
+           "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
