@@ -26,9 +26,23 @@ from asserts_otel_processor_ray.stages import similarity as S
 from asserts_otel_processor_ray.stages import text_analysis as T
 from asserts_otel_processor_ray.stages.topk import (collect_df,
                                                     default_shuffle_blocks,
-                                                    shuffle_width)
+                                                    shuffle_width,
+                                                    use_hash_shuffle)
 
 STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def _named(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Positionally rename collect_df output; robust to the column-less
+    empty frame collect_df returns when every block is empty."""
+    if len(df.columns) != len(cols):
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object)
+                                 for c in cols})
+        raise ValueError(
+            f"expected {len(cols)} columns {cols}, got {list(df.columns)}")
+    df.columns = cols
+    return df
 
 
 def _docs(sf_dir: str) -> "ray.data.Dataset":
@@ -208,10 +222,8 @@ def q_asof_join(sf_dir: str) -> pa.Table:
     state.  Right-side ts ties resolve to min event_id (deterministic;
     the DuckDB ASOF JOIN oracle sees the same deduped right side)."""
     ds = _events(sf_dir)
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(ds.count())   # parquet count: metadata-only
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
     out = parted.map_batches(E.asof_join_block, batch_format="pyarrow",
                              batch_size=None)
@@ -386,13 +398,11 @@ def _tfidf_join_path(docs, dfds, n_docs: int) -> pa.Table:
     broadcast-held vocabulary), then ONE hash repartition by doc_id and
     a per-block top-3 kernel.  The scale path beyond
     TFIDF_BROADCAST_BUDGET; identical output to the broadcast path."""
-    from ray.data.context import ShuffleStrategy
     # token long rows ~ docs x avg tokens; the x32 multiplier only has
     # to be the right order of magnitude for the width clamp
     nparts = shuffle_width(docs.count() * 32)
     long = docs.map_batches(T.tf_long_batch, batch_format="pyarrow")
-    long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    long.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(long, nparts)
     joined = long.join(dfds, join_type="inner", num_partitions=nparts,
                        on=("token",))
     parted = joined.repartition(num_blocks=nparts, keys=["doc_id"])
@@ -595,10 +605,8 @@ def q_knn_label(sf_dir: str) -> pa.Table:
 
 def q_sessionize(sf_dir: str) -> pa.Table:
     ds = _events(sf_dir)
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(ds.count())   # parquet count: metadata-only
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
     out = parted.map_batches(E.sessionize_batch, batch_format="pyarrow",
                              batch_size=None)
@@ -701,14 +709,12 @@ def q_nation_orders(sf_dir: str) -> pa.Table:
     groupby(n_name) count/max.  Max (not sum) keeps the float
     aggregate order-independent and oracle-exact."""
     from ray.data.aggregate import Max, Sum
-    from ray.data.context import ShuffleStrategy
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
     nparts = shuffle_width(orders.count())  # metadata-only count
-    orders.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    orders.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(orders, nparts)
     joined = orders.join(cust, join_type="inner", num_partitions=nparts,
                          on=("o_custkey",), right_on=("c_custkey",))
     nt = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -847,10 +853,8 @@ def q_source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> pa.Table:
     never shuffles and the driver never holds more than the result."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source"])
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(ds.count())
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     part = ds.map_batches(lambda df: _source_cap_block(df, k),
                           batch_format="pandas")
     parted = part.repartition(num_blocks=nparts, keys=["source"])
@@ -872,10 +876,8 @@ def q_rolling_count(sf_dir: str, window_s: float = 1800.0) -> pa.Table:
     under any block layout."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id"])
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(ds.count())
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
     out = parted.map_batches(
         lambda b: E.rolling_count_block(b, window_s),
@@ -987,10 +989,8 @@ def q_stratified_sample(sf_dir: str, k: int = STRAT_SAMPLE_K) -> pa.Table:
     shuffles and the sample is stable under any blocking."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(ds.count())
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     part = ds.map_batches(lambda df: _strat_partial(df, k),
                           batch_format="pandas")
     parted = part.repartition(num_blocks=nparts, keys=["lang"])
@@ -1040,7 +1040,6 @@ def q_pack_offsets(sf_dir: str, budget: int = PACK_SEQ_TOKENS,
     prefix table <= ~64k rows at any size."""
     import ray as _ray
     from ray.data.aggregate import Sum
-    from ray.data.context import ShuffleStrategy
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     if bucket_docs is None:
@@ -1055,8 +1054,7 @@ def q_pack_offsets(sf_dir: str, budget: int = PACK_SEQ_TOKENS,
     ref = _ray.put((bsum["bucket"].to_numpy(np.int64), starts))
 
     nparts = shuffle_width(ds.count())
-    slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    slim.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(slim, nparts)
     parted = slim.repartition(num_blocks=nparts, keys=["bucket"])
 
     def _final(batch: pa.Table) -> pa.Table:
@@ -1180,10 +1178,8 @@ def q_funnel(sf_dir: str) -> pa.Table:
     sweep.  Integer timestamps and counts — bitwise-stable."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_type"])
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(ds.count())
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
     out = parted.map_batches(E.funnel_block, batch_format="pyarrow",
                              batch_size=None)
@@ -1221,8 +1217,8 @@ def q_props_extract(sf_dir: str) -> pa.Table:
                           batch_format="pyarrow")
     agg = part.groupby("event_type").aggregate(
         Sum("sum_k"), Max("max_k"), Sum("n_events"))
-    df = collect_df(agg)
-    df.columns = ["event_type", "sum_k", "max_k", "n_events"]
+    df = _named(collect_df(agg),
+                ["event_type", "sum_k", "max_k", "n_events"])
     for c in ("sum_k", "max_k", "n_events"):
         df[c] = df[c].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -1274,12 +1270,10 @@ def q_distinct_users(sf_dir: str) -> pa.Table:
     events (one repartition + block kernel instead of two
     groupby.aggregate pools — the measured-faster shape for ~100k
     groups)."""
-    from ray.data.context import ShuffleStrategy
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
     nparts = shuffle_width(ds.count())
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
     part = ds.map_batches(E.distinct_pairs_partial,
                           batch_format="pyarrow")
     parted = part.repartition(num_blocks=nparts, keys=["user_id"])
@@ -1335,7 +1329,6 @@ def q_q3_topk(sf_dir: str) -> pa.Table:
     read, not the wide join payload."""
     import pyarrow.compute as apc
     import pyarrow.dataset as pads
-    from ray.data.context import ShuffleStrategy
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
@@ -1356,8 +1349,7 @@ def q_q3_topk(sf_dir: str) -> pa.Table:
                                           "l_discount"])
     nparts = shuffle_width(line.count())
     for ds in (cust, orders, line):
-        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+        use_hash_shuffle(ds, nparts)
     # one exchange in flight at a time: each shuffle op spawns its own
     # aggregator-actor pool, and three concurrent pools starve each
     # other on small CPU counts (and needlessly contend on big ones) —
@@ -1442,11 +1434,9 @@ def _unigram_join_path(docs, cntds) -> pa.Table:
     broadcast-held vocabulary.  Identical output to the broadcast
     path (test-pinned)."""
     from ray.data.aggregate import Sum
-    from ray.data.context import ShuffleStrategy
     nparts = shuffle_width(docs.count() * 32)
     long = docs.map_batches(T.tf_long_batch, batch_format="pyarrow")
-    long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    long.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(long, nparts)
     joined = long.join(cntds, join_type="inner", num_partitions=nparts,
                        on=("token",))
 
@@ -1462,8 +1452,7 @@ def _unigram_join_path(docs, cntds) -> pa.Table:
 
     agg = joined.map_batches(_mass, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("mass"), Sum("ntok"))
-    df = collect_df(agg)
-    df.columns = ["doc_id", "tf_mass", "n_tokens"]
+    df = _named(collect_df(agg), ["doc_id", "tf_mass", "n_tokens"])
     for c in ("tf_mass", "n_tokens"):
         df[c] = df[c].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -1481,10 +1470,17 @@ def unigram_mass(docs,
     budget."""
     from ray.data.aggregate import Sum
     part = docs.map_batches(T.term_count_partial, batch_format="pyarrow")
+    def _rename(t: pa.Table) -> pa.Table:
+        # empty aggregate blocks can carry a different column count;
+        # pass ONLY those through, fail loudly on real shape drift
+        if t.num_columns == 2:
+            return t.rename_columns(["token", "c"])
+        if t.num_rows == 0:
+            return t
+        raise ValueError(f"unexpected aggregate shape: {t.schema}")
+
     agg = part.groupby("token").aggregate(Sum("partial_c")).map_batches(
-        lambda t: (t.rename_columns(["token", "c"])
-                   if t.num_columns == 2 else t),
-        batch_format="pyarrow").materialize()
+        _rename, batch_format="pyarrow").materialize()
     kept = agg.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(
             t.column("c"), UNIGRAM_MIN_C)),
@@ -1515,7 +1511,6 @@ def q_semi_join(sf_dir: str) -> pa.Table:
     is small (the classic broadcast-semi-join pattern; beyond driver
     memory the g_distinct_users pair-shuffle shape applies)."""
     import pyarrow.compute as apc
-    from ray.data.context import ShuffleStrategy
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
     buyers_part = ev.map_batches(
@@ -1523,8 +1518,9 @@ def q_semi_join(sf_dir: str) -> pa.Table:
             t.filter(apc.equal(t.column("event_type"),
                                "purchase")).column("user_id"))}),
         batch_format="pyarrow")
-    buyers = np.sort(np.unique(
-        collect_df(buyers_part)["user_id"].to_numpy(np.int64)))
+    bdf = collect_df(buyers_part)
+    buyers = (np.sort(np.unique(bdf["user_id"].to_numpy(np.int64)))
+              if not bdf.empty else np.empty(0, np.int64))
     ref = ray.put(buyers)
 
     class _SemiJoinStage:
@@ -1533,16 +1529,17 @@ def q_semi_join(sf_dir: str) -> pa.Table:
             self.keys = _ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(self.keys) == 0:
+                return E.distinct_pairs_partial(t.slice(0, 0))
             u = t.column("user_id").to_numpy()
             pos = np.searchsorted(self.keys, u)
             pos[pos == len(self.keys)] = 0
-            keep = (len(self.keys) > 0) & (self.keys[pos] == u)
+            keep = self.keys[pos] == u
             return E.distinct_pairs_partial(
                 t.filter(pa.array(keep)))
 
     nparts = shuffle_width(ev.count())
-    ev.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ev.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ev, nparts)
     part = ev.map_batches(_SemiJoinStage, fn_constructor_args=(ref,),
                           batch_format="pyarrow", concurrency=(1, 4))
     parted = part.repartition(num_blocks=nparts, keys=["user_id"])
@@ -1562,12 +1559,10 @@ def q_retention(sf_dir: str) -> pa.Table:
     exchange) → tiny exact driver merge (weeks × blocks rows).
     Epoch-aligned integer buckets mirror the SQL exactly — no calendar
     week semantics to disagree on."""
-    from ray.data.context import ShuffleStrategy
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
     nparts = shuffle_width(ds.count())
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+    use_hash_shuffle(ds, nparts)
 
     def _uw_partial(t: pa.Table) -> pa.Table:
         ts = t.column("ts").cast(pa.int64()).to_numpy()
@@ -1601,6 +1596,10 @@ def q_retention(sf_dir: str) -> pa.Table:
     out = parted.map_batches(_block_final, batch_format="pandas",
                              batch_size=None)
     df = collect_df(out)
+    if df.empty:
+        return pa.table({"week_bucket": pa.array([], pa.int64()),
+                         "n_active": pa.array([], pa.int64()),
+                         "n_retained": pa.array([], pa.int64())})
     m = df.groupby("week_bucket", sort=True, as_index=False).sum()
     for c in ("week_bucket", "n_active", "n_retained"):
         m[c] = m[c].astype(np.int64)
@@ -1631,8 +1630,8 @@ def q_tumbling(sf_dir: str) -> pa.Table:
     agg = ds.map_batches(_partial, batch_format="pyarrow") \
         .groupby(["event_type", "day_us"]).aggregate(
             Sum("n_events"), Max("max_value"))
-    df = collect_df(agg)
-    df.columns = ["event_type", "day_us", "n_events", "max_value"]
+    df = _named(collect_df(agg),
+                ["event_type", "day_us", "n_events", "max_value"])
     df["day"] = pd.to_datetime(df.pop("day_us"), unit="us") \
         .astype("datetime64[us]")
     df["n_events"] = df["n_events"].astype(np.int64)

@@ -375,17 +375,13 @@ def minhash_pairs_distributed(docs, k: int = 32, bands: int = 8,
             return empty
         return pd.concat(out, ignore_index=True)
 
-    from ray.data.context import ShuffleStrategy
-
     from asserts_otel_processor_ray.stages.topk import (
-        collect_df, shuffle_width)
+        collect_df, shuffle_width, use_hash_shuffle)
     if num_partitions is None:
         # banded rows = docs x bands (20-byte rows); clamp the width so
         # tiny corpora don't pay a wide exchange's fixed costs
         num_partitions = shuffle_width(docs.count() * bands)
-    banded.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    banded.context.max_hash_shuffle_aggregators = max(
-        8, num_partitions // 4)
+    use_hash_shuffle(banded, num_partitions)
     parted = banded.repartition(num_blocks=num_partitions,
                                 keys=["band_id", "band_hash"])
     out = parted.map_batches(verify_block, batch_format="pandas",
@@ -591,10 +587,8 @@ def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
     intersection but FULL distinct-gram counts in the union (a
     deterministic lower bound; exact when no gram exceeds the cap —
     the SQL oracle applies the identical rule)."""
-    from ray.data.context import ShuffleStrategy
-
     from asserts_otel_processor_ray.stages.topk import (
-        collect_df, shuffle_width)
+        collect_df, shuffle_width, use_hash_shuffle)
     if num_partitions is None:
         # gram long rows ~ docs x distinct grams/doc; the x64
         # multiplier only has to be order-of-magnitude right for the
@@ -603,9 +597,7 @@ def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
 
     long = docs.map_batches(lambda t: ngram_long_batch(t, w),
                             batch_format="pyarrow")
-    long.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    long.context.max_hash_shuffle_aggregators = max(
-        8, num_partitions // 4)
+    use_hash_shuffle(long, num_partitions)
     parted = long.repartition(num_blocks=num_partitions, keys=["h"])
     partials = parted.map_batches(
         lambda d: ngram_pairs_block(d, max_df),
@@ -823,10 +815,8 @@ def connected_components_distributed(pairs, num_partitions: int | None
     returned (node, label) frame is O(nodes that appear in any pair) —
     the same size as the query's answer.  Duplicate edges (e.g. the
     same pair from several LSH bands) are harmless under min."""
-    from ray.data.context import ShuffleStrategy
-
     from asserts_otel_processor_ray.stages.topk import (
-        collect_df, default_shuffle_blocks)
+        collect_df, default_shuffle_blocks, use_hash_shuffle)
     if num_partitions is None:
         num_partitions = default_shuffle_blocks()
 
@@ -839,9 +829,7 @@ def connected_components_distributed(pairs, num_partitions: int | None
         })
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    edges.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    edges.context.max_hash_shuffle_aggregators = max(
-        8, num_partitions // 4)
+    use_hash_shuffle(edges, num_partitions)
     edges = edges.materialize()
     if edges.count() == 0:
         return pd.DataFrame({"node": pd.Series(dtype=np.int64),
@@ -892,9 +880,7 @@ def connected_components_distributed(pairs, num_partitions: int | None
                      .map_batches(lambda t: t.select(["node", "label"]),
                                   batch_format="pyarrow"))
         merged = labels.union(nbr_cand).union(jump_cand)
-        merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        merged.context.max_hash_shuffle_aggregators = max(
-            8, num_partitions // 4)
+        use_hash_shuffle(merged, num_partitions)
         labels = (merged.repartition(num_blocks=num_partitions,
                                      keys=["node"])
                   .map_batches(block_min, batch_format="pandas",

@@ -137,10 +137,10 @@ def distinct_pairs_partial(batch: pa.Table) -> pa.Table:
     groupby(pair).sum final yields each distinct pair exactly once, so
     a second (tiny) groupby(event_type) counts distincts exactly.  The
     per-batch dedupe is the pre-aggregation that keeps the pair
-    exchange proportional to distinct pairs, not raw rows."""
-    gb = batch.select(["event_type", "user_id"]).group_by(
-        ["event_type", "user_id"]).aggregate([([], "count_all")])
-    return gb.rename_columns(["event_type", "user_id", "pair_count"])
+    exchange proportional to distinct pairs, not raw rows.  Same
+    kernel as count_topk_partial, different output name."""
+    return count_topk_partial(batch).rename_columns(
+        ["event_type", "user_id", "pair_count"])
 
 
 # ---- deterministic hash sampling ------------------------------------------

@@ -76,6 +76,16 @@ def shuffle_width(n_rows: int | None = None, floor: int = 8) -> int:
     return w
 
 
+def use_hash_shuffle(ds: "ray.data.Dataset", nparts: int) -> None:
+    """Route this dataset's key-based repartitions / joins / groupbys
+    through the hash-shuffle backend, with the aggregator pool scaled
+    to the shuffle width (one aggregator per ~4 partitions, floor 8 —
+    the single sizing policy for every keyed exchange in the repo)."""
+    from ray.data.context import ShuffleStrategy
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(8, nparts // 4)
+
+
 def collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Materialize a (small, pre-reduced) dataset to a driver DataFrame."""
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]

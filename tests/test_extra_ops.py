@@ -1018,3 +1018,55 @@ def test_rolling_count_wide_span_many_users_no_overflow():
     })
     out = rolling_count_block(batch, window_s=1800.0)
     assert (out.column("n_window").to_numpy() == 1).all()
+
+
+# ---- empty / degenerate input robustness (round-5 review findings) --------
+
+_EVENTS_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+    ("user_id", pa.int64()), ("event_type", pa.string()),
+    ("value", pa.float64()), ("props", pa.string()),
+])
+
+
+def _write_events(path, rows=None):
+    import pyarrow.parquet as pq
+    if rows is None:
+        t = _EVENTS_SCHEMA.empty_table()
+    else:
+        t = pa.table(rows, schema=_EVENTS_SCHEMA)
+    pq.write_table(t, f"{path}/events.parquet")
+
+
+def test_semi_join_no_buyers(ray_session, tmp_path):
+    """A stream with zero purchase events must yield an empty result,
+    not an IndexError probing an empty broadcast key array."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_semi_join)
+    _write_events(tmp_path, {
+        "event_id": [1, 2], "ts": np.array([0, 1], "datetime64[us]"),
+        "user_id": [10, 11], "event_type": ["view", "click"],
+        "value": [1.0, 2.0], "props": ['{"k": 1}', '{"k": 2}'],
+    })
+    out = q_semi_join(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["event_type", "distinct_users",
+                                "n_events"]
+
+
+def test_event_queries_on_empty_table(ray_session, tmp_path):
+    """Zero-row events input: every round-5 event operator must return
+    a typed empty table (collect_df yields a column-less frame there —
+    the positional renames used to raise)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_props_extract, q_retention, q_semi_join, q_tumbling)
+    _write_events(tmp_path)
+    for fn, cols in [
+        (q_props_extract, ["event_type", "sum_k", "max_k", "n_events"]),
+        (q_retention, ["week_bucket", "n_active", "n_retained"]),
+        (q_semi_join, ["event_type", "distinct_users", "n_events"]),
+        (q_tumbling, ["event_type", "day", "n_events", "max_value"]),
+    ]:
+        out = fn(str(tmp_path))
+        assert out.num_rows == 0, fn.__name__
+        assert out.column_names == cols, fn.__name__
