@@ -2628,3 +2628,146 @@ SELECT act.wk AS week_bucket, act.n_active,
   CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained
 FROM act LEFT JOIN r ON act.wk = r.wk""",
 })
+
+
+# ---- round-5 third block: redaction, global shuffle, normalization --------
+
+def q_redact(sf_dir: str) -> pa.Table:
+    """PII-style corpus rewrite: one vectorized RE2 count + replace per
+    batch, zero shuffle (stages/text_analysis.redact_batch)."""
+    out = _docs(sf_dir).map_batches(T.redact_batch,
+                                    batch_format="pyarrow")
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+def q_shard_assign(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle as (shard, position) assignment:
+    seeded affine hash per doc → ONE hash exchange by shard →
+    block-local ordering by (h, doc_id) numbers each shard densely.
+    Writing shards in position order materializes the shuffled corpus
+    with no global sort."""
+    ds = _docs(sf_dir)
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    keyed = ds.map_batches(T.shard_assign_partial,
+                           batch_format="pyarrow")
+    parted = keyed.repartition(num_blocks=nparts, keys=["shard"])
+    out = parted.map_batches(T.shard_positions_block,
+                             batch_format="pandas", batch_size=None)
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "shard": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _zscore_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch exact integer moments per language: (n, s, sq) over
+    n_chars.  int64 is safe: n_chars ≤ ~1e5 → sq per row ≤ 1e10,
+    ~1e8 rows per batch away from overflow."""
+    df = pd.DataFrame({
+        "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+        "x": batch.column("n_chars").to_numpy().astype(np.int64),
+    })
+    df["xx"] = df["x"] * df["x"]
+    g = df.groupby("lang", sort=False).agg(
+        n=("x", "size"), s=("x", "sum"), sq=("xx", "sum")).reset_index()
+    for c in ("n", "s", "sq"):
+        g[c] = g[c].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+class _ZScoreStage:
+    """Per-row standardization against broadcast per-language moments
+    (languages are few — the classic tiny-side ray.put broadcast)."""
+
+    def __init__(self, ref):
+        import ray as _ray
+        mom = _ray.get(ref)   # {lang: (n, s, sq)}
+        self.mean = {}
+        self.std = {}
+        for lang, (n, s, sq) in mom.items():
+            # float() BEFORE the divide mirrors the oracle's
+            # CAST(... AS DOUBLE)/n exactly (matters past 2^53)
+            mean = float(s) / n
+            var = float(sq) / n - mean * mean
+            self.mean[lang] = mean
+            self.std[lang] = float(np.sqrt(var)) if var > 0 else 0.0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        x = t.column("n_chars").to_numpy().astype(np.float64)
+        # vectorized gather via factorize (no per-row dict lookups)
+        codes, uniq = pd.factorize(lang)
+        mu = np.array([self.mean[u] for u in uniq])[codes]
+        sd = np.array([self.std[u] for u in uniq])[codes]
+        z = np.where(sd > 0, (x - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "lang": t.column("lang"),
+            "zscore": pa.array(z, pa.float64()),
+        })
+
+
+def q_zscore(sf_dir: str) -> pa.Table:
+    """Per-group feature normalization (z-score of document length by
+    language): distributed exact-integer moment partials → tiny
+    groupby(lang) driver merge → broadcast → pure per-batch map.  The
+    float math is one expression over exact integers, so drift vs the
+    oracle is below the 1e-9 hash rounding."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    part = ds.map_batches(_zscore_partial, batch_format="pyarrow")
+    pdf = collect_df(part)
+    if pdf.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string()),
+                         "zscore": pa.array([], pa.float64())})
+    m = pdf.groupby("lang", as_index=False).sum()
+    mom = {r.lang: (int(r.n), int(r.s), int(r.sq))
+           for r in m.itertuples()}
+    ref = ray.put(mom)
+    out = ds.map_batches(_ZScoreStage, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", concurrency=(1, 4))
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+EXTRA_QUERIES.update({
+    "d_redact": q_redact,
+    "d_shard_assign": q_shard_assign,
+    "d_zscore": q_zscore,
+})
+
+EXTRA_ORACLE_SQL.update({
+    "d_redact": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{T.REDACT_PATTERN}')) AS BIGINT)
+    AS n_redactions,
+  regexp_replace(text, '{T.REDACT_PATTERN}', '{T.REDACT_TOKEN}', 'g')
+    AS redacted
+FROM documents""",
+    "d_shard_assign": f"""
+WITH h AS (
+  SELECT doc_id,
+    (CAST(doc_id AS HUGEINT) * {T.SHARD_A} + {T.SHARD_B})
+      % 2305843009213693951 AS h
+  FROM documents)
+SELECT doc_id, CAST(h % {T.SHARD_N} AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY h % {T.SHARD_N}
+                          ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h""",
+    "d_zscore": """
+WITH m AS (
+  SELECT lang, count(*) AS n, sum(n_chars) AS s,
+         sum(n_chars * n_chars) AS sq
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang,
+  CASE WHEN CAST(m.sq AS DOUBLE)/m.n
+            - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n) > 0
+    THEN (d.n_chars - CAST(m.s AS DOUBLE)/m.n)
+         / sqrt(CAST(m.sq AS DOUBLE)/m.n
+                - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n))
+    ELSE 0.0 END AS zscore
+FROM documents d JOIN m ON d.lang = m.lang""",
+})

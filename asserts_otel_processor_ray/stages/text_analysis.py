@@ -547,3 +547,82 @@ def chunk_batch(batch: pa.Table, size: int = 128,
         "end_tok": pa.array(end, pa.int64()),
         "n_chunk_tokens": pa.array(end - start, pa.int64()),
     })
+
+
+# ---- PII-style redaction ----------------------------------------------------
+#
+# The curation pass that REWRITES the corpus: replace every match of an
+# entity/PII pattern with a placeholder and count how many were hit per
+# document.  One vectorized RE2 scan + one vectorized RE2 replace per
+# batch — a pure map, zero shuffle, the 100-TB shape is
+# read → redact_batch → write_parquet.  The pattern set below targets
+# the synthetic corpus's "entity" words so the operator actually fires
+# in tests; swap REDACT_PATTERN for email/phone/SSN alternations in a
+# real deployment (both Arrow and DuckDB speak RE2, so the oracle
+# stays byte-for-byte).
+
+REDACT_PATTERN = r"\b(customer|supplier|part)\b"
+REDACT_TOKEN = "<ENT>"
+
+
+def redact_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_redactions (non-overlapping match count), redacted
+    text.  count_substring_regex and DuckDB's regexp_extract_all both
+    count non-overlapping RE2 matches left-to-right, so the oracle's
+    len() agrees exactly."""
+    text = batch.column("text")
+    n = pc.count_substring_regex(text, REDACT_PATTERN)
+    red = pc.replace_substring_regex(text, REDACT_PATTERN, REDACT_TOKEN)
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "n_redactions": n.cast(pa.int64()),
+        "redacted": red,
+    })
+
+
+# ---- deterministic global shuffle (shard + position assignment) ------------
+#
+# Training-data loaders need a reproducible corpus-wide shuffle.  At
+# scale the assignment IS the shuffle: give every document a seeded
+# pseudo-random key h, a shard (h mod n_shards) and a dense position
+# within its shard ordered by (h, doc_id) — then writing each shard's
+# rows in position order materializes the shuffled corpus without any
+# global sort (ONE hash exchange by shard; positions are assigned
+# block-locally because a keyed repartition co-locates each shard).
+
+SHARD_A = 685_525_442_799_944_203   # < 2^61-1, odd; decorrelated from
+SHARD_B = 331_723_068_736_801_151   # the sampling constants
+SHARD_N = 16
+
+
+def shard_assign_partial(batch: pa.Table,
+                         n_shards: int = SHARD_N) -> pa.Table:
+    """Per-batch shard keying: h = (doc_id·A + B) mod 2^61-1,
+    shard = h mod n_shards.  Pure map; the position assignment needs
+    the one keyed exchange."""
+    doc_id = batch.column("doc_id").to_numpy()
+    dm = (doc_id % np.int64(_MOD)).astype(np.uint64)
+    h = _addmod61(_mulmod61(dm, SHARD_A), SHARD_B)
+    return pa.table({
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "h": pa.array(h.astype(np.int64), pa.int64()),
+        "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64),
+                          pa.int64()),
+    })
+
+
+def shard_positions_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Block kernel after repartition(keys=['shard']): each shard's
+    rows are block-local, so sorting by (h, doc_id) within shard and
+    numbering densely is the globally exact position (grouping by
+    shard inside the block tolerates several shards per block)."""
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "shard": pd.Series(dtype=np.int64),
+                             "pos": pd.Series(dtype=np.int64)})
+    d = df.sort_values(["shard", "h", "doc_id"],
+                       kind="mergesort").reset_index(drop=True)
+    pos = d.groupby("shard", sort=False).cumcount().to_numpy(np.int64)
+    return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
+                         "shard": d["shard"].to_numpy(np.int64),
+                         "pos": pos})

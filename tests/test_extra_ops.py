@@ -358,7 +358,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_stratified_sample", "d_pack_offsets", "d_dedup_keep",
            "d_curation", "g_funnel", "e_quantize", "d_chunk",
            "g_props_extract", "g_distinct_users", "h_q3_topk",
-           "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention"]
+           "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
+           "d_redact", "d_shard_assign", "d_zscore"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1070,3 +1071,58 @@ def test_event_queries_on_empty_table(ray_session, tmp_path):
         out = fn(str(tmp_path))
         assert out.num_rows == 0, fn.__name__
         assert out.column_names == cols, fn.__name__
+
+
+def test_redact_batch_semantics():
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        REDACT_TOKEN, redact_batch)
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["the customer met a supplier",
+                           "particle is not a part match for parts",
+                           "no entities here"]})
+    out = redact_batch(b).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_redactions"] == 2
+    assert out.loc[1, "redacted"] == \
+        f"the {REDACT_TOKEN} met a {REDACT_TOKEN}"
+    # \b guards: "particle"/"parts" must NOT match, bare "part" must
+    assert out.loc[2, "n_redactions"] == 1
+    assert out.loc[2, "redacted"] == \
+        f"particle is not a {REDACT_TOKEN} match for parts"
+    assert out.loc[3, "n_redactions"] == 0
+    assert out.loc[3, "redacted"] == "no entities here"
+
+
+def test_shard_positions_dense_and_stable():
+    """Positions are 0..k-1 dense per shard and ordered by (h, doc_id)
+    regardless of input row order."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        shard_assign_partial, shard_positions_block)
+    ids = np.arange(1000, dtype=np.int64)
+    keyed = shard_assign_partial(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})).to_pandas()
+    out = shard_positions_block(keyed.sample(frac=1.0, random_state=7))
+    for shard, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # permutation-invariant: same assignment from sorted input
+    out2 = shard_positions_block(keyed)
+    a = out.sort_values("doc_id", ignore_index=True)
+    b = out2.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_zscore_constant_group_is_zero(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_zscore)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a", "b", "c", "d"],
+        "lang": ["en", "en", "fr", "fr"],
+        "source": ["s"] * 4,
+        "n_chars": pa.array([10, 10, 5, 15], pa.int64()),
+    })
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    out = q_zscore(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "zscore"] == 0.0 and out.loc[2, "zscore"] == 0.0
+    # fr: mean=10, var=25, std=5 -> z = (5-10)/5 = -1, (15-10)/5 = +1
+    assert out.loc[3, "zscore"] == -1.0 and out.loc[4, "zscore"] == 1.0
