@@ -2771,3 +2771,76 @@ SELECT d.doc_id, d.lang,
     ELSE 0.0 END AS zscore
 FROM documents d JOIN m ON d.lang = m.lang""",
 })
+
+
+# ---- raw-drop source formats: JSONL transcripts, CSV events ---------------
+
+def q_jsonl_source(sf_dir: str) -> pa.Table:
+    """S-family: JSONL transcript ingest via Ray-native distributed
+    read_json + one vectorized cast to the canonical transcript schema
+    (sources/textio.py).  Input is the deterministic fixture, not
+    sf_dir — the conversion is what's under test (the t_jaeger
+    pattern); the returned Dataset is drop-in for run_pipeline."""
+    from asserts_otel_processor_ray.sources.textio import (
+        read_transcripts_jsonl)
+    return pa.Table.from_pandas(
+        collect_df(read_transcripts_jsonl()), preserve_index=False)
+
+
+def q_csv_source(sf_dir: str) -> pa.Table:
+    """S-family: CSV event ingest via Ray-native distributed read_csv
+    (typed header inference) + a per-batch partial → tiny driver
+    merge per event type.  Integer-cent amounts keep the aggregate
+    exact."""
+    from asserts_otel_processor_ray.sources.textio import (
+        read_events_csv)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        gb = t.group_by("event_type").aggregate(
+            [("amount", "sum"), ([], "count_all")])
+        return gb.rename_columns(["event_type", "sum_amount",
+                                  "n_events"])
+
+    part = read_events_csv().map_batches(_partial,
+                                         batch_format="pyarrow")
+    df = collect_df(part)
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "sum_amount": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    m = df.groupby("event_type", sort=True, as_index=False).sum()
+    for c in ("sum_amount", "n_events"):
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+def _jsonl_sql() -> str:
+    from asserts_otel_processor_ray.sources.textio import (
+        ensure_jsonl_fixture)
+    d = ensure_jsonl_fixture()
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text,
+       tool, make_timestamp(ts) AS ts
+FROM read_json('{d}/*.jsonl', format='newline_delimited')"""
+
+
+def _csv_sql() -> str:
+    from asserts_otel_processor_ray.sources.textio import (
+        ensure_csv_fixture)
+    d = ensure_csv_fixture()
+    return f"""
+SELECT event_type, CAST(sum(amount) AS BIGINT) AS sum_amount,
+       count(*) AS n_events
+FROM read_csv('{d}/*.csv')
+GROUP BY event_type"""
+
+
+EXTRA_QUERIES.update({
+    "s_jsonl": q_jsonl_source,
+    "s_csv_events": q_csv_source,
+})
+
+EXTRA_ORACLE_SQL.update({
+    "s_jsonl": _jsonl_sql(),
+    "s_csv_events": _csv_sql(),
+})

@@ -359,7 +359,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_curation", "g_funnel", "e_quantize", "d_chunk",
            "g_props_extract", "g_distinct_users", "h_q3_topk",
            "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
-           "d_redact", "d_shard_assign", "d_zscore"]
+           "d_redact", "d_shard_assign", "d_zscore",
+           "s_jsonl", "s_csv_events"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1126,3 +1127,14 @@ def test_zscore_constant_group_is_zero(ray_session, tmp_path):
     assert out.loc[1, "zscore"] == 0.0 and out.loc[2, "zscore"] == 0.0
     # fr: mean=10, var=25, std=5 -> z = (5-10)/5 = -1, (15-10)/5 = +1
     assert out.loc[3, "zscore"] == -1.0 and out.loc[4, "zscore"] == 1.0
+
+
+def test_jsonl_source_is_dropin_transcript_schema(ray_session):
+    """The JSONL reader must emit the exact canonical transcript
+    schema so its Dataset is drop-in input for run_pipeline."""
+    from asserts_otel_processor_ray.schema import TRANSCRIPT_SCHEMA
+    from asserts_otel_processor_ray.sources.textio import (
+        read_transcripts_jsonl)
+    ds = read_transcripts_jsonl()
+    assert ds.schema().base_schema == TRANSCRIPT_SCHEMA
+    assert ds.count() > 0
