@@ -2844,3 +2844,123 @@ EXTRA_ORACLE_SQL.update({
     "s_jsonl": _jsonl_sql(),
     "s_csv_events": _csv_sql(),
 })
+
+
+# ---- hopping window + percentile-threshold filter --------------------------
+
+HOP_US = 6 * 3600 * 1_000_000          # hop = 6 h
+HOP_K = 4                              # window length = 4 hops = 24 h
+
+
+def q_hopping(sf_dir: str) -> pa.Table:
+    """Sliding (hopping) event-time windows: 24-hour windows advancing
+    every 6 hours — each event lands in exactly HOP_K windows, so the
+    per-batch partial EXPLODES ×HOP_K (numpy tile, no Python loop),
+    pre-reduces per (type, window_start), and ONE distributed two-key
+    groupby finishes.  Counts exact; max order-independent."""
+    from ray.data.aggregate import Max, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        aligned = ts - ts % HOP_US
+        k = np.arange(HOP_K, dtype=np.int64)
+        # window starts: aligned - k*HOP for k=0..K-1 (all contain ts
+        # because window length == K hops)
+        win = (aligned[:, None] - k[None, :] * HOP_US).ravel()
+        g = pd.DataFrame({
+            "event_type": np.repeat(t.column("event_type").to_numpy(
+                zero_copy_only=False), HOP_K),
+            "win_us": win,
+            "value": np.repeat(t.column("value").to_numpy(), HOP_K),
+        }).groupby(["event_type", "win_us"], sort=False)["value"] \
+            .agg(n_events="size", max_value="max").reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "win_us"]).aggregate(
+            Sum("n_events"), Max("max_value"))
+    df = _named(collect_df(agg),
+                ["event_type", "win_us", "n_events", "max_value"])
+    df["window_start"] = pd.to_datetime(df.pop("win_us"), unit="us") \
+        .astype("datetime64[us]")
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(
+        df[["event_type", "window_start", "n_events", "max_value"]],
+        preserve_index=False)
+
+
+PCTL_RANK = 90
+
+
+def q_percentile_filter(sf_dir: str) -> pa.Table:
+    """Percentile-threshold quality gating (keep the longest ~10% of
+    documents): pass 1 builds the exact (n_chars, count) histogram via
+    ONE distributed groupby over per-batch partials (|distinct
+    lengths| rows — never the corpus), the driver takes the discrete
+    p90 from the cumulative counts, pass 2 is a stateless broadcast
+    filter.  The two-scan shape is the 100-TB one: no sort, no
+    per-row state, threshold computed from a bounded histogram."""
+    import math
+
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def _hist_partial(t: pa.Table) -> pa.Table:
+        gb = t.select(["n_chars"]).group_by(["n_chars"]).aggregate(
+            [([], "count_all")])
+        return gb.rename_columns(["n_chars", "partial_n"])
+
+    agg = ds.map_batches(_hist_partial, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("partial_n"))
+    h = _named(collect_df(agg), ["n_chars", "n"]) \
+        .sort_values("n_chars").reset_index(drop=True)
+    if h.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    total = int(h["n"].sum())
+    rank = math.ceil(PCTL_RANK / 100 * total)
+    cum = h["n"].cumsum().to_numpy()
+    thr = int(h["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
+
+    out = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(
+            t.column("n_chars"), thr)),
+        batch_format="pyarrow")
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EXTRA_QUERIES.update({
+    "g_hopping": q_hopping,
+    "d_percentile_filter": q_percentile_filter,
+})
+
+EXTRA_ORACLE_SQL.update({
+    "g_hopping": f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, value FROM events),
+w AS (
+  SELECT event_type,
+    (t - t % {HOP_US}) - k.k * {HOP_US} AS win_us, value
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+SELECT event_type, make_timestamp(win_us) AS window_start,
+  count(*) AS n_events, max(value) AS max_value
+FROM w GROUP BY 1, 2""",
+    "d_percentile_filter": f"""
+WITH c AS (
+  SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY v),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c),
+thr AS (
+  SELECT min(v) AS thr FROM cum
+  WHERE cum >= ceil({PCTL_RANK} / 100.0 * (SELECT count(*)
+                                           FROM documents)))
+SELECT doc_id, n_chars FROM documents, thr WHERE n_chars >= thr""",
+})

@@ -360,7 +360,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "g_props_extract", "g_distinct_users", "h_q3_topk",
            "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
            "d_redact", "d_shard_assign", "d_zscore",
-           "s_jsonl", "s_csv_events"]
+           "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1138,3 +1138,35 @@ def test_jsonl_source_is_dropin_transcript_schema(ray_session):
     ds = read_transcripts_jsonl()
     assert ds.schema().base_schema == TRANSCRIPT_SCHEMA
     assert ds.count() > 0
+
+
+def test_hopping_every_event_in_k_windows(ray_session):
+    """Hopping windows with length == K hops: Σ n_events over all
+    windows must be exactly K × the event count."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        HOP_K, q_hopping)
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    out = q_hopping(SF).to_pandas()
+    assert out["n_events"].sum() == HOP_K * n
+    # window starts align to the hop grid
+    us = out["window_start"].astype("int64")
+    assert (us % (6 * 3600 * 1_000_000) == 0).all()
+
+
+def test_percentile_filter_threshold_semantics(ray_session, tmp_path):
+    """Discrete p90 over 1..10: rank = ceil(0.9*10) = 9 → threshold 9
+    → exactly {9, 10} survive."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_percentile_filter)
+    t = pa.table({
+        "doc_id": pa.array(range(1, 11), pa.int64()),
+        "text": ["x"] * 10,
+        "lang": ["en"] * 10,
+        "source": ["s"] * 10,
+        "n_chars": pa.array(range(1, 11), pa.int64()),
+    })
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    out = q_percentile_filter(str(tmp_path)).to_pandas()
+    assert sorted(out["n_chars"]) == [9, 10]
