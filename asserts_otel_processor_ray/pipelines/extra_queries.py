@@ -2964,3 +2964,80 @@ thr AS (
                                            FROM documents)))
 SELECT doc_id, n_chars FROM documents, thr WHERE n_chars >= thr""",
 })
+
+
+# ---- source-weighted mixture sampling (epoch mixing) -----------------------
+#
+# The data-mixing step of an LLM training pipeline: each source gets a
+# repeat FACTOR (2.0 = two epochs, 0.5 = half the docs, 1.375 = every
+# doc once + 3/8 of them twice).  Factors are kept in eighths so the
+# fractional part is an EXACT integer comparison against h mod 8 —
+# deterministic, reproducible, and oracle-expressible with no float
+# anywhere.  Pure per-batch map + explode: zero shuffle, zero state.
+
+MIX_A = 472_882_049_982_006_893   # < 2^61-1, odd; decorrelated
+MIX_B = 104_395_301_778_409_111
+# factor in EIGHTHS per source: src_i -> (i*5) % 17 + 4  (0.5x..2.5x)
+MIX_FACTORS_8 = {f"src{i}": (i * 5) % 17 + 4 for i in range(20)}
+
+
+def mixture_sample_batch(t: pa.Table,
+                         factors_8: dict[str, int] | None = None
+                         ) -> pa.Table:
+    """(doc_id, copy_idx) rows: floor(f) full copies per doc plus one
+    more iff h mod 8 < the factor's fractional eighths.  Vectorized
+    explode via np.repeat + cumsum offsets."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        _MOD, _addmod61, _mulmod61)
+    if factors_8 is None:
+        factors_8 = MIX_FACTORS_8
+    doc_id = t.column("doc_id").to_numpy()
+    src = t.column("source").to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(src)
+    fe = np.array([int(factors_8.get(u, 8)) for u in uniq],
+                  np.int64)[codes]
+    dm = (doc_id % np.int64(_MOD)).astype(np.uint64)
+    h = _addmod61(_mulmod61(dm, MIX_A), MIX_B)
+    k = fe // 8 + ((h % np.uint64(8)).astype(np.int64) < fe % 8)
+    out_id = np.repeat(doc_id, k)
+    # copy_idx = 0..k-1 per doc: global arange minus each doc's offset
+    ends = np.cumsum(k)
+    copy_idx = np.arange(ends[-1] if len(ends) else 0,
+                         dtype=np.int64) - np.repeat(ends - k, k)
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "copy_idx": pa.array(copy_idx, pa.int64()),
+    })
+
+
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    out = ds.map_batches(mixture_sample_batch, batch_format="pyarrow")
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "copy_idx": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _mixture_sql() -> str:
+    vals = ", ".join(f"('{s}', {v})"
+                     for s, v in sorted(MIX_FACTORS_8.items()))
+    return f"""
+WITH fe(source, fe) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id, source,
+    (CAST(doc_id AS HUGEINT) * {MIX_A} + {MIX_B})
+      % 2305843009213693951 AS h
+  FROM documents),
+k AS (
+  SELECT doc_id,
+    fe // 8 + CASE WHEN d.h % 8 < fe % 8 THEN 1 ELSE 0 END AS k
+  FROM d JOIN fe USING (source))
+SELECT doc_id, CAST(unnest(range(k)) AS BIGINT) AS copy_idx
+FROM k WHERE k > 0"""
+
+
+EXTRA_QUERIES.update({"d_mixture_sample": q_mixture_sample})
+EXTRA_ORACLE_SQL.update({"d_mixture_sample": _mixture_sql()})

@@ -360,7 +360,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "g_props_extract", "g_distinct_users", "h_q3_topk",
            "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
            "d_redact", "d_shard_assign", "d_zscore",
-           "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter"]
+           "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
+           "d_mixture_sample"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1170,3 +1171,29 @@ def test_percentile_filter_threshold_semantics(ray_session, tmp_path):
     pq.write_table(t, f"{tmp_path}/documents.parquet")
     out = q_percentile_filter(str(tmp_path)).to_pandas()
     assert sorted(out["n_chars"]) == [9, 10]
+
+
+def test_mixture_sample_factor_semantics():
+    """factor 20/8 = 2.5x: every doc gets >= 2 copies, ~half get 3;
+    factor 4/8 = 0.5x: docs get 0 or 1 copies, ~half survive; copy
+    indices are dense 0..k-1 and the explode is deterministic."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        mixture_sample_batch)
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": ["up"] * (n // 2) + ["down"] * (n // 2),
+    })
+    f = {"up": 20, "down": 4}
+    out = mixture_sample_batch(t, f).to_pandas()
+    out2 = mixture_sample_batch(t, f).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+    k = out.groupby("doc_id").size()
+    up = k.reindex(range(n // 2), fill_value=0)
+    down = k.reindex(range(n // 2, n), fill_value=0)
+    assert set(up.unique()) <= {2, 3} and 0.4 < (up == 3).mean() < 0.6
+    assert set(down.unique()) <= {0, 1} and 0.4 < down.mean() < 0.6
+    for d, grp in out.groupby("doc_id"):
+        assert sorted(grp["copy_idx"]) == list(range(len(grp)))
+        if d >= 20:
+            break
