@@ -3041,3 +3041,98 @@ FROM k WHERE k > 0"""
 
 EXTRA_QUERIES.update({"d_mixture_sample": q_mixture_sample})
 EXTRA_ORACLE_SQL.update({"d_mixture_sample": _mixture_sql()})
+
+
+# ---- token co-occurrence (PMI numerators) -----------------------------------
+
+COOC_TOPK = 50
+
+
+def _cooccur_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial pair counts: distinct tokens per doc, all
+    a<b pairs via a per-doc self-merge (vectorized; pair count per doc
+    is bounded by distinct-tokens², itself bounded by the vocabulary),
+    then an in-batch pre-reduce so the exchange moves (pair, count)
+    rows, not doc×pair rows."""
+    toks = T._tokens_series(batch.column("text"))
+    ex = toks.explode().dropna()
+    d = pd.DataFrame({"doc": ex.index.to_numpy(),
+                      "t": ex.to_numpy()}).drop_duplicates()
+    m = d.merge(d, on="doc")
+    m = m[m["t_x"] < m["t_y"]]
+    g = m.groupby(["t_x", "t_y"], sort=False).size().reset_index(
+        name="partial_n")
+    return pa.table({
+        "ta": pa.array(g["t_x"].to_numpy(), pa.string()),
+        "tb": pa.array(g["t_y"].to_numpy(), pa.string()),
+        "partial_n": pa.array(g["partial_n"].to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def _cooccur_top_block(df: pd.DataFrame, n: int = COOC_TOPK
+                       ) -> pd.DataFrame:
+    df = df.sort_values(["c_ab", "ta", "tb"],
+                        ascending=[False, True, True], kind="mergesort")
+    return df.head(n)
+
+
+def q_cooccur(sf_dir: str) -> pa.Table:
+    """Corpus token co-occurrence top-50 with PMI numerators: pair
+    counts via distributed groupby over per-batch pre-reduced
+    partials → exact two-phase top-50 (each pair lives in one block
+    after the groupby) → per-token doc frequencies for JUST the ≤100
+    surviving tokens attached from a filtered scan of the distributed
+    df table.  All columns exact integers — PMI is
+    log(n_docs·c_ab / (c_a·c_b)), one log away, kept out so the
+    oracle stays bitwise."""
+    import pyarrow.compute as apc
+    from ray.data.aggregate import Sum
+    docs = _docs(sf_dir)
+    part = docs.map_batches(_cooccur_partial, batch_format="pyarrow")
+    agg = part.groupby(["ta", "tb"]).aggregate(Sum("partial_n"))
+    agg = agg.map_batches(
+        lambda t: (t.rename_columns(["ta", "tb", "c_ab"])
+                   if t.num_columns == 3 else t),
+        batch_format="pyarrow")
+    topped = agg.map_batches(_cooccur_top_block, batch_format="pandas")
+    tdf = collect_df(topped)
+    if tdf.empty:
+        return pa.table({"ta": pa.array([], pa.string()),
+                         "tb": pa.array([], pa.string()),
+                         "c_ab": pa.array([], pa.int64()),
+                         "c_a": pa.array([], pa.int64()),
+                         "c_b": pa.array([], pa.int64())})
+    top = _cooccur_top_block(tdf).reset_index(drop=True)
+
+    need = sorted(set(top["ta"]) | set(top["tb"]))
+    dfp = docs.map_batches(T.doc_freq_partial, batch_format="pyarrow")
+    dfa = dfp.map_batches(
+        lambda t: t.filter(apc.is_in(t.column("token"),
+                                     pa.array(need, pa.string()))),
+        batch_format="pyarrow").groupby("token").aggregate(
+            Sum("partial_df"))
+    fdf = _named(collect_df(dfa), ["token", "df"])
+    dmap = dict(zip(fdf["token"], fdf["df"].astype(np.int64)))
+    top["c_a"] = top["ta"].map(dmap).astype(np.int64)
+    top["c_b"] = top["tb"].map(dmap).astype(np.int64)
+    top["c_ab"] = top["c_ab"].astype(np.int64)
+    return pa.Table.from_pandas(top[["ta", "tb", "c_ab", "c_a", "c_b"]],
+                                preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_cooccur": q_cooccur})
+EXTRA_ORACLE_SQL.update({"d_cooccur": f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS c_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2),
+top AS (
+  SELECT * FROM pairs ORDER BY c_ab DESC, ta, tb LIMIT {COOC_TOPK}),
+df AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+SELECT ta, tb, c_ab, da.c AS c_a, db.c AS c_b
+FROM top JOIN df da ON ta = da.t JOIN df db ON tb = db.t"""})

@@ -361,7 +361,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
            "d_redact", "d_shard_assign", "d_zscore",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
-           "d_mixture_sample"]
+           "d_mixture_sample", "d_cooccur"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1197,3 +1197,15 @@ def test_mixture_sample_factor_semantics():
         assert sorted(grp["copy_idx"]) == list(range(len(grp)))
         if d >= 20:
             break
+
+
+def test_cooccur_partial_counts_distinct_pairs():
+    """Pair counts are DOC-distinct (a doc contributes a pair once no
+    matter how often the tokens repeat), ordered a<b."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _cooccur_partial)
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["x y x y x", "y z"]})
+    out = _cooccur_partial(b).to_pandas()
+    got = {(r.ta, r.tb): r.partial_n for r in out.itertuples()}
+    assert got == {("x", "y"): 1, ("y", "z"): 1}
