@@ -3136,3 +3136,102 @@ top AS (
 df AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
 SELECT ta, tb, c_ab, da.c AS c_a, db.c AS c_b
 FROM top JOIN df da ON ta = da.t JOIN df db ON tb = db.t"""})
+
+
+# ---- KMV (k-minimum-values) approximate distinct sketch --------------------
+#
+# The sketch family entry: estimate COUNT(DISTINCT user_id) per
+# event_type from only the K smallest hash values per group.  Unlike
+# HLL, KMV is fully deterministic given the hash function, so the
+# approximation algorithm itself gets an EXACT oracle: DuckDB computes
+# the same K-th-smallest hash and the same estimate expression.
+# Shape: per-batch per-group K-smallest partial (tiny) → driver merge
+# of blocks×groups×K rows → estimate = (K-1)·M / h_K.  At 100 TB the
+# exchange is K·groups·blocks rows of two ints — nothing else moves.
+
+KMV_K = 64
+KMV_A = 818_205_325_379_551_653   # < 2^61-1, odd
+KMV_B = 266_312_756_309_400_839
+KMV_A2 = 592_431_846_559_340_421
+
+
+def _kmv_partial(t: pa.Table) -> pa.Table:
+    """K smallest distinct user-hashes per event_type in this batch.
+    Uses the avalanche-MIXED hash: the plain affine map's minimum
+    order statistics over sequential ids are structured (measured 3x
+    estimator bias); mix_hash61 restores uniformity (est within ~6%
+    at n=10k-100k)."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        _MOD, mix_hash61)
+    u = t.column("user_id").to_numpy()
+    um = (u % np.int64(_MOD)).astype(np.uint64)
+    h = mix_hash61(um, KMV_A, KMV_B, KMV_A2).astype(np.int64)
+    df = pd.DataFrame({
+        "event_type": t.column("event_type").to_numpy(
+            zero_copy_only=False),
+        "h": h,
+    }).drop_duplicates()
+    df = df.sort_values(["event_type", "h"], kind="mergesort")
+    top = df.groupby("event_type", sort=False).head(KMV_K)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def q_kmv_distinct(sf_dir: str) -> pa.Table:
+    """Approximate distinct users per event type via a KMV sketch:
+    exact small driver state (groups × K hashes), deterministic
+    estimate.  Groups with < K distinct hashes report the exact
+    count (the sketch is lossless below K)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    part = ds.map_batches(_kmv_partial, batch_format="pyarrow")
+    df = collect_df(part)
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "kth_hash": pa.array([], pa.int64()),
+                         "n_kept": pa.array([], pa.int64()),
+                         "est_distinct": pa.array([], pa.float64())})
+    df = df.drop_duplicates().sort_values(["event_type", "h"],
+                                          kind="mergesort")
+    top = df.groupby("event_type", sort=True).head(KMV_K)
+    out = top.groupby("event_type", sort=True).agg(
+        kth_hash=("h", "max"), n_kept=("h", "size")).reset_index()
+    full = out["n_kept"].to_numpy(np.int64) >= KMV_K
+    hk = out["kth_hash"].to_numpy(np.int64).astype(np.float64)
+    m = float((1 << 61) - 1)
+    est = np.where(full, (KMV_K - 1) * m / np.where(hk > 0, hk, 1.0),
+                   out["n_kept"].to_numpy(np.int64).astype(np.float64))
+    out["kth_hash"] = out["kth_hash"].astype(np.int64)
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["est_distinct"] = est
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _kmv_sql() -> str:
+    return f"""
+WITH h1 AS (
+  SELECT DISTINCT event_type,
+    CAST((CAST(user_id AS HUGEINT) * {KMV_A} + {KMV_B})
+         % 2305843009213693951 AS BIGINT) AS h
+  FROM events),
+h2 AS (SELECT event_type, xor(h, h >> 31) AS h FROM h1),
+h3 AS (SELECT event_type,
+         CAST((CAST(h AS HUGEINT) * {KMV_A2})
+              % 2305843009213693951 AS BIGINT) AS h FROM h2),
+h AS (SELECT DISTINCT event_type, xor(h, h >> 29) AS h FROM h3),
+r AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h),
+s AS (
+  SELECT event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+    count(*) AS n_kept
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type)
+SELECT event_type, kth_hash, n_kept,
+  CASE WHEN n_kept >= {KMV_K}
+    THEN ({KMV_K} - 1) * 2305843009213693951.0 / kth_hash
+    ELSE CAST(n_kept AS DOUBLE) END AS est_distinct
+FROM s"""
+
+
+EXTRA_QUERIES.update({"g_kmv_distinct": q_kmv_distinct})
+EXTRA_ORACLE_SQL.update({"g_kmv_distinct": _kmv_sql()})

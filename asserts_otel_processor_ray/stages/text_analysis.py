@@ -626,3 +626,17 @@ def shard_positions_block(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
                          "shard": d["shard"].to_numpy(np.int64),
                          "pos": pos})
+
+
+def mix_hash61(x: np.ndarray, a1, b1, a2) -> np.ndarray:
+    """Avalanche-mixed 61-bit hash (murmur-finalizer style: affine →
+    xorshift → multiply → xorshift).  The plain affine map is fine
+    when only low-order uniformity matters (sampling, sharding) but
+    its output over sequential ids is an arithmetic progression mod
+    M whose MINIMUM order statistics are structured (three-distance
+    theorem) — order-statistic consumers (KMV sketches) need this
+    mixed form.  Exactly mirrored in SQL via xor()/>> on BIGINT."""
+    h = _addmod61(_mulmod61(x.astype(np.uint64), a1), b1)
+    h = h ^ (h >> np.uint64(31))
+    h = _mulmod61(h, a2)
+    return h ^ (h >> np.uint64(29))

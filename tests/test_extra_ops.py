@@ -361,7 +361,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
            "d_redact", "d_shard_assign", "d_zscore",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
-           "d_mixture_sample", "d_cooccur"]
+           "d_mixture_sample", "d_cooccur", "g_kmv_distinct"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1209,3 +1209,28 @@ def test_cooccur_partial_counts_distinct_pairs():
     out = _cooccur_partial(b).to_pandas()
     got = {(r.ta, r.tb): r.partial_n for r in out.itertuples()}
     assert got == {("x", "y"): 1, ("y", "z"): 1}
+
+
+def test_kmv_estimate_accuracy(ray_session, tmp_path):
+    """KMV with K=64 estimates 10,000 distinct users within ~±25%
+    (std err ≈ 1/√(K−2) ≈ 12.7%), and is exact below K."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_kmv_distinct)
+    n = 10_000
+    t = pa.table({
+        "event_id": pa.array(range(n + 10), pa.int64()),
+        "ts": pa.array(np.zeros(n + 10, "datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(list(range(n)) + list(range(10)),
+                            pa.int64()),
+        "event_type": ["big"] * n + ["small"] * 10,
+        "value": pa.array(np.zeros(n + 10), pa.float64()),
+        "props": ['{"k": 1}'] * (n + 10),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = q_kmv_distinct(str(tmp_path)).to_pandas().set_index(
+        "event_type")
+    assert out.loc["small", "est_distinct"] == 10.0   # exact below K
+    big = out.loc["big", "est_distinct"]
+    assert 7_500 < big < 12_500
