@@ -59,7 +59,10 @@ def oracle_sql() -> dict[str, str]:
         default_config(), f"read_parquet('{path}/*.parquet')")
     try:
         from asserts_otel_processor_ray.pipelines.extra_queries import (
-            EXTRA_ORACLE_SQL)
+            EXTRA_ORACLE_SQL, ensure_source_fixtures)
+        # the s_* oracle strings read fixed /tmp fixture paths — make
+        # sure the files exist before DuckDB runs them
+        ensure_source_fixtures()
         out.update(EXTRA_ORACLE_SQL)
     except ImportError:
         pass

@@ -2637,7 +2637,12 @@ def q_redact(sf_dir: str) -> pa.Table:
     batch, zero shuffle (stages/text_analysis.redact_batch)."""
     out = _docs(sf_dir).map_batches(T.redact_batch,
                                     batch_format="pyarrow")
-    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_redactions": pa.array([], pa.int64()),
+                         "redacted": pa.array([], pa.string())})
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def q_shard_assign(sf_dir: str) -> pa.Table:
@@ -2646,7 +2651,8 @@ def q_shard_assign(sf_dir: str) -> pa.Table:
     block-local ordering by (h, doc_id) numbers each shard densely.
     Writing shards in position order materializes the shuffled corpus
     with no global sort."""
-    ds = _docs(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
     nparts = shuffle_width(ds.count())
     use_hash_shuffle(ds, nparts)
     keyed = ds.map_batches(T.shard_assign_partial,
@@ -2700,6 +2706,10 @@ class _ZScoreStage:
         x = t.column("n_chars").to_numpy().astype(np.float64)
         # vectorized gather via factorize (no per-row dict lookups)
         codes, uniq = pd.factorize(lang)
+        if (codes < 0).any():
+            # fail loud: a null lang would silently wrap to uniq[-1]'s
+            # moments (and the oracle's inner JOIN drops the row)
+            raise ValueError("null lang in documents")
         mu = np.array([self.mean[u] for u in uniq])[codes]
         sd = np.array([self.std[u] for u in uniq])[codes]
         z = np.where(sd > 0, (x - mu) / np.where(sd > 0, sd, 1.0), 0.0)
@@ -2814,24 +2824,31 @@ def q_csv_source(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(m, preserve_index=False)
 
 
-def _jsonl_sql() -> str:
+def ensure_source_fixtures() -> None:
+    """Write the deterministic JSONL/CSV fixtures if absent.  Called
+    at USE time (by the s_* queries and by __ray_entry__.oracle_sql())
+    — deliberately NOT at import, so importing this module has no
+    filesystem side effect and survives a read-only /tmp."""
     from asserts_otel_processor_ray.sources.textio import (
-        ensure_jsonl_fixture)
-    d = ensure_jsonl_fixture()
+        ensure_csv_fixture, ensure_jsonl_fixture)
+    ensure_jsonl_fixture()
+    ensure_csv_fixture()
+
+
+def _jsonl_sql() -> str:
+    from asserts_otel_processor_ray.sources.textio import JSONL_DIR
     return f"""
 SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text,
        tool, make_timestamp(ts) AS ts
-FROM read_json('{d}/*.jsonl', format='newline_delimited')"""
+FROM read_json('{JSONL_DIR}/*.jsonl', format='newline_delimited')"""
 
 
 def _csv_sql() -> str:
-    from asserts_otel_processor_ray.sources.textio import (
-        ensure_csv_fixture)
-    d = ensure_csv_fixture()
+    from asserts_otel_processor_ray.sources.textio import CSV_DIR
     return f"""
 SELECT event_type, CAST(sum(amount) AS BIGINT) AS sum_amount,
        count(*) AS n_events
-FROM read_csv('{d}/*.csv')
+FROM read_csv('{CSV_DIR}/*.csv')
 GROUP BY event_type"""
 
 
@@ -2840,6 +2857,8 @@ EXTRA_QUERIES.update({
     "s_csv_events": q_csv_source,
 })
 
+# static strings: the fixture PATHS are constants; the files are
+# created lazily by ensure_source_fixtures()
 EXTRA_ORACLE_SQL.update({
     "s_jsonl": _jsonl_sql(),
     "s_csv_events": _csv_sql(),
@@ -2864,6 +2883,10 @@ def q_hopping(sf_dir: str) -> pa.Table:
 
     def _partial(t: pa.Table) -> pa.Table:
         ts = t.column("ts").cast(pa.int64()).to_numpy()
+        if len(ts) and ts.min() < 0:
+            # fail loud: floored (numpy) vs truncated (SQL) modulo
+            # diverge on pre-epoch timestamps
+            raise ValueError("pre-epoch ts in events")
         aligned = ts - ts % HOP_US
         k = np.arange(HOP_K, dtype=np.int64)
         # window starts: aligned - k*HOP for k=0..K-1 (all contain ts
@@ -2884,6 +2907,12 @@ def q_hopping(sf_dir: str) -> pa.Table:
             Sum("n_events"), Max("max_value"))
     df = _named(collect_df(agg),
                 ["event_type", "win_us", "n_events", "max_value"])
+    if df.empty:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "window_start": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "max_value": pa.array([], pa.float64())})
     df["window_start"] = pd.to_datetime(df.pop("win_us"), unit="us") \
         .astype("datetime64[us]")
     df["n_events"] = df["n_events"].astype(np.int64)
@@ -2994,8 +3023,15 @@ def mixture_sample_batch(t: pa.Table,
     doc_id = t.column("doc_id").to_numpy()
     src = t.column("source").to_numpy(zero_copy_only=False)
     codes, uniq = pd.factorize(src)
-    fe = np.array([int(factors_8.get(u, 8)) for u in uniq],
-                  np.int64)[codes]
+    unknown = [u for u in uniq if u not in factors_8]
+    if unknown or (codes < 0).any():
+        # fail loud: the oracle's inner JOIN would silently drop these
+        raise ValueError(
+            f"sources without a mixture factor: {unknown or ['<null>']}")
+    if (doc_id < 0).any():
+        raise ValueError("negative doc_id: floored vs truncated modulo "
+                         "would diverge from the SQL oracle")
+    fe = np.array([int(factors_8[u]) for u in uniq], np.int64)[codes]
     dm = (doc_id % np.int64(_MOD)).astype(np.uint64)
     h = _addmod61(_mulmod61(dm, MIX_A), MIX_B)
     k = fe // 8 + ((h % np.uint64(8)).astype(np.int64) < fe % 8)
@@ -3164,6 +3200,9 @@ def _kmv_partial(t: pa.Table) -> pa.Table:
     from asserts_otel_processor_ray.stages.text_analysis import (
         _MOD, mix_hash61)
     u = t.column("user_id").to_numpy()
+    if len(u) and u.min() < 0:
+        raise ValueError("negative user_id: floored vs truncated "
+                         "modulo would diverge from the SQL oracle")
     um = (u % np.int64(_MOD)).astype(np.uint64)
     h = mix_hash61(um, KMV_A, KMV_B, KMV_A2).astype(np.int64)
     df = pd.DataFrame({

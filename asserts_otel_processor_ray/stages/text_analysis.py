@@ -601,6 +601,9 @@ def shard_assign_partial(batch: pa.Table,
     shard = h mod n_shards.  Pure map; the position assignment needs
     the one keyed exchange."""
     doc_id = batch.column("doc_id").to_numpy()
+    if len(doc_id) and doc_id.min() < 0:
+        raise ValueError("negative doc_id: floored vs truncated "
+                         "modulo would diverge from the SQL oracle")
     dm = (doc_id % np.int64(_MOD)).astype(np.uint64)
     h = _addmod61(_mulmod61(dm, SHARD_A), SHARD_B)
     return pa.table({

@@ -1062,13 +1062,18 @@ def test_event_queries_on_empty_table(ray_session, tmp_path):
     a typed empty table (collect_df yields a column-less frame there —
     the positional renames used to raise)."""
     from asserts_otel_processor_ray.pipelines.extra_queries import (
-        q_props_extract, q_retention, q_semi_join, q_tumbling)
+        q_hopping, q_kmv_distinct, q_props_extract, q_retention,
+        q_semi_join, q_tumbling)
     _write_events(tmp_path)
     for fn, cols in [
         (q_props_extract, ["event_type", "sum_k", "max_k", "n_events"]),
         (q_retention, ["week_bucket", "n_active", "n_retained"]),
         (q_semi_join, ["event_type", "distinct_users", "n_events"]),
         (q_tumbling, ["event_type", "day", "n_events", "max_value"]),
+        (q_hopping, ["event_type", "window_start", "n_events",
+                     "max_value"]),
+        (q_kmv_distinct, ["event_type", "kth_hash", "n_kept",
+                          "est_distinct"]),
     ]:
         out = fn(str(tmp_path))
         assert out.num_rows == 0, fn.__name__
