@@ -3274,3 +3274,24 @@ FROM s"""
 
 EXTRA_QUERIES.update({"g_kmv_distinct": q_kmv_distinct})
 EXTRA_ORACLE_SQL.update({"g_kmv_distinct": _kmv_sql()})
+
+
+def write_shuffled(ds, out_dir: str, num_partitions: int | None = None):
+    """Materialize the deterministic global shuffle: attach (h, shard)
+    per batch (payload columns ride along), ONE keyed exchange by
+    shard, order each block by (shard, h, doc_id), and write Parquet
+    hive-partitioned by shard — each shard directory holds its rows in
+    shuffled training order, resumable per shard, and a training
+    loader streams shard files in name order.  The only data movement
+    is the single hash exchange; there is no global sort."""
+    if num_partitions is None:
+        num_partitions = shuffle_width(ds.count())
+    use_hash_shuffle(ds, num_partitions)
+    keyed = ds.map_batches(T.shard_attach, batch_format="pyarrow")
+    parted = keyed.repartition(num_blocks=num_partitions,
+                               keys=["shard"])
+    ordered = parted.map_batches(T.shard_order_block,
+                                 batch_format="pyarrow",
+                                 batch_size=None)
+    ordered.write_parquet(out_dir, partition_cols=["shard"])
+    return out_dir

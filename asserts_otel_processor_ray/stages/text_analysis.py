@@ -643,3 +643,21 @@ def mix_hash61(x: np.ndarray, a1, b1, a2) -> np.ndarray:
     h = h ^ (h >> np.uint64(31))
     h = _mulmod61(h, a2)
     return h ^ (h >> np.uint64(29))
+
+
+def shard_attach(batch: pa.Table, n_shards: int = SHARD_N) -> pa.Table:
+    """Append (h, shard) to a payload batch (any schema with doc_id) —
+    the full-row sibling of shard_assign_partial, used by the
+    materializing write path."""
+    keyed = shard_assign_partial(batch.select(["doc_id"]), n_shards)
+    return batch.append_column("h", keyed.column("h")) \
+                .append_column("shard", keyed.column("shard"))
+
+
+def shard_order_block(t: pa.Table) -> pa.Table:
+    """Block kernel after repartition(keys=['shard']): emit the
+    block's rows in (shard, h, doc_id) order — within a shard this IS
+    the shuffled training order — and drop the scratch hash."""
+    out = t.sort_by([("shard", "ascending"), ("h", "ascending"),
+                     ("doc_id", "ascending")])
+    return out.drop_columns(["h"])

@@ -1239,3 +1239,31 @@ def test_kmv_estimate_accuracy(ray_session, tmp_path):
     assert out.loc["small", "est_distinct"] == 10.0   # exact below K
     big = out.loc["big", "est_distinct"]
     assert 7_500 < big < 12_500
+
+
+def test_write_shuffled_materializes_training_order(ray_session,
+                                                    tmp_path):
+    """write_shuffled's per-shard parquet must hold every doc exactly
+    once, in exactly the (shard, pos) order q_shard_assign computes."""
+    import ray.data
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_shard_assign, write_shuffled)
+    out = f"{tmp_path}/shuffled"
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    write_shuffled(ds, out)
+    assign = q_shard_assign(SF).to_pandas()
+    import glob
+
+    import pyarrow.parquet as pq
+    seen = 0
+    for d in sorted(glob.glob(f"{out}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                        ignore_index=True)
+        want = assign[assign["shard"] == shard].sort_values("pos")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), shard
+        assert set(got.columns) >= {"doc_id", "text"}
+        seen += len(got)
+    assert seen == len(assign)
