@@ -3295,3 +3295,46 @@ def write_shuffled(ds, out_dir: str, num_partitions: int | None = None):
                                  batch_size=None)
     ordered.write_parquet(out_dir, partition_cols=["shard"])
     return out_dir
+
+
+# ---- kNN graph construction -------------------------------------------------
+
+KNN_GRAPH_K = 5
+
+
+def q_knn_graph(sf_dir: str) -> pa.Table:
+    """k-nearest-neighbor graph over the embedding corpus (every
+    vector's exact top-5 cosine neighbors, self excluded) — the edge
+    build behind semantic dedup / clustering / graph-based curation.
+    Reuses the exact ANN machinery with queries = ALL vectors: ask
+    k+1, drop self, renumber — exact because self (cosine 1.0) either
+    occupies one pool slot or is beaten only by other cosine-1.0
+    vectors that outrank it anyway.  This exact path doubles as the
+    oracle baseline; at corpus scale the same call swaps to
+    ann_topk_lsh / ann_topk_ivf (queries shard per batch, candidates
+    prune per bucket) exactly as e_ann_lsh/e_ann_ivf demonstrate."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qids = tbl.column("vec_id").to_numpy()
+    qm = S._matrix(tbl)
+    df = S.ann_topk(_emb(sf_dir), qm, qids, k=KNN_GRAPH_K + 1)
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "rank"], kind="mergesort")
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+    df = df[df["rank"] <= KNN_GRAPH_K].reset_index(drop=True)
+    df["rank"] = df["rank"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"e_knn_graph": q_knn_graph})
+EXTRA_ORACLE_SQL.update({"e_knn_graph": f"""
+WITH c AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, rn AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+  FROM c)
+WHERE rn <= {KNN_GRAPH_K}"""})

@@ -361,7 +361,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_unigram_lm", "g_semi_join", "g_tumbling", "g_retention",
            "d_redact", "d_shard_assign", "d_zscore",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
-           "d_mixture_sample", "d_cooccur", "g_kmv_distinct"]
+           "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
+           "e_knn_graph"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
