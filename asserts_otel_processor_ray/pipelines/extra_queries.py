@@ -3283,7 +3283,12 @@ def write_shuffled(ds, out_dir: str, num_partitions: int | None = None):
     hive-partitioned by shard — each shard directory holds its rows in
     shuffled training order, resumable per shard, and a training
     loader streams shard files in name order.  The only data movement
-    is the single hash exchange; there is no global sort."""
+    is the single hash exchange; there is no global sort.
+
+    With ``num_partitions=None`` the width comes from ``ds.count()`` —
+    metadata-only for a bare read_parquet, but it EXECUTES the
+    upstream DAG once for a transformed dataset (and write_parquet
+    runs it again): pass num_partitions explicitly in that case."""
     if num_partitions is None:
         num_partitions = shuffle_width(ds.count())
     use_hash_shuffle(ds, num_partitions)

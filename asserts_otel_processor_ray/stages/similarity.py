@@ -64,14 +64,26 @@ class BruteForceTopK:
         m = _normalize(_matrix(batch)[keep])
         sims = self.q @ m.T                       # (nq, nb) float64
         k = min(self.k, sims.shape[1])
+        # exact top-k under the TOTAL order (cos desc, neighbor asc):
+        # argpartition alone keeps an arbitrary subset of candidates
+        # TIED at the boundary cosine (wrong under duplicate vectors —
+        # the semantic-dedup norm), so expand to everything >= the
+        # boundary and pick k lexicographically.  Typical expansion is
+        # ~nq*k rows; the degenerate all-identical corpus expands to
+        # the full matrix, which is the true tie set.
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rowq = np.repeat(self.query_ids, k)
-        flat = idx.ravel()
-        simv = np.take_along_axis(sims, idx, axis=1).ravel()
+        ck = np.take_along_axis(sims, idx, axis=1).min(axis=1)
+        rows, cols = np.nonzero(sims >= ck[:, None])
+        cosv = sims[rows, cols]
+        nidv = ids[cols]
+        order = np.lexsort((nidv, -cosv, rows))
+        rows, cosv, nidv = rows[order], cosv[order], nidv[order]
+        starts = np.searchsorted(rows, np.arange(sims.shape[0]))
+        take = (np.arange(len(rows)) - starts[rows]) < k
         return pa.table({
-            "query_id": pa.array(rowq, pa.int64()),
-            "neighbor_id": pa.array(ids[flat], pa.int64()),
-            "cos": pa.array(simv, pa.float64()),
+            "query_id": pa.array(self.query_ids[rows[take]], pa.int64()),
+            "neighbor_id": pa.array(nidv[take], pa.int64()),
+            "cos": pa.array(cosv[take], pa.float64()),
         })
 
 

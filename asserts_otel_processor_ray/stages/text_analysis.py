@@ -648,7 +648,13 @@ def mix_hash61(x: np.ndarray, a1, b1, a2) -> np.ndarray:
 def shard_attach(batch: pa.Table, n_shards: int = SHARD_N) -> pa.Table:
     """Append (h, shard) to a payload batch (any schema with doc_id) —
     the full-row sibling of shard_assign_partial, used by the
-    materializing write path."""
+    materializing write path.  Fails fast on column collisions (a
+    duplicate field name would otherwise only explode in the sort
+    AFTER the shuffle exchange has been paid)."""
+    clash = {"h", "shard"} & set(batch.column_names)
+    if clash:
+        raise ValueError(f"payload already has column(s) {sorted(clash)};"
+                         " rename them before write_shuffled")
     keyed = shard_assign_partial(batch.select(["doc_id"]), n_shards)
     return batch.append_column("h", keyed.column("h")) \
                 .append_column("shard", keyed.column("shard"))

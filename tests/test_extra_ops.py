@@ -1268,3 +1268,31 @@ def test_write_shuffled_materializes_training_order(ray_session,
         assert set(got.columns) >= {"doc_id", "text"}
         seen += len(got)
     assert seen == len(assign)
+
+
+def test_bruteforce_topk_tie_break_under_duplicates():
+    """A batch holding more identical vectors than k must keep the
+    smallest neighbor ids, not an argpartition-arbitrary subset (the
+    semantic-dedup corpus norm)."""
+    import ray as _ray
+    from asserts_otel_processor_ray.stages.similarity import (
+        BruteForceTopK)
+    vec = [1.0, 2.0, 3.0]
+    ids = list(range(100, 108))
+    batch = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([vec] * len(ids),
+                              pa.list_(pa.float32())),
+    })
+    stage = BruteForceTopK(np.array([vec]), np.array([0]), k=5)
+    out = stage(batch).to_pandas()
+    assert out["neighbor_id"].tolist() == [100, 101, 102, 103, 104]
+
+
+def test_shard_attach_rejects_column_collision():
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        shard_attach)
+    b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "h": pa.array([9], pa.int64())})
+    with pytest.raises(ValueError, match="rename"):
+        shard_attach(b)
