@@ -3343,3 +3343,70 @@ SELECT query_id, neighbor_id, rn AS rank FROM (
                        ORDER BY cos DESC, neighbor_id) AS rn
   FROM c)
 WHERE rn <= {KNN_GRAPH_K}"""})
+
+
+# ---- OLAP ROLLUP (multi-granularity aggregate in one pass) -----------------
+
+ROLLUP_ALL = "(all)"
+
+
+def q_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (event_type, day): leaf, per-type and grand
+    totals from ONE scan — the distributed groupby produces the exact
+    leaf table (types × days rows, tiny) and the coarser levels are
+    re-aggregated from it on the driver for free (counts add; max of
+    max is max — both order-independent).  NULL rollup positions are
+    coalesced to sentinels ('(all)' / -1) in engine AND oracle so the
+    hash compare never depends on NULL ordering."""
+    from ray.data.aggregate import Max, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "day_us": ts - ts % _DAY_US,
+            "value": t.column("value").to_numpy(),
+        }).groupby(["event_type", "day_us"], sort=False)["value"] \
+            .agg(n_events="size", max_value="max").reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day_us"]).aggregate(
+            Sum("n_events"), Max("max_value"))
+    leaf = _named(collect_df(agg),
+                  ["event_type", "day_us", "n_events", "max_value"])
+    if leaf.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day_us": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "max_value": pa.array([], pa.float64())})
+    leaf["n_events"] = leaf["n_events"].astype(np.int64)
+    leaf["day_us"] = leaf["day_us"].astype(np.int64)
+    lvl1 = leaf.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), max_value=("max_value", "max"))
+    lvl1["day_us"] = np.int64(-1)
+    lvl0 = pd.DataFrame({
+        "event_type": [ROLLUP_ALL], "day_us": np.array([-1], np.int64),
+        "n_events": np.array([leaf["n_events"].sum()], np.int64),
+        "max_value": [leaf["max_value"].max()],
+    })
+    out = pd.concat([leaf, lvl1, lvl0], ignore_index=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["event_type", "day_us", "n_events", "max_value"]],
+        preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_rollup": q_rollup})
+EXTRA_ORACLE_SQL.update({"g_rollup": f"""
+WITH e AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, value
+  FROM events)
+SELECT COALESCE(event_type, '{ROLLUP_ALL}') AS event_type,
+  CAST(COALESCE(day_us, -1) AS BIGINT) AS day_us,
+  count(*) AS n_events, max(value) AS max_value
+FROM e GROUP BY ROLLUP (event_type, day_us)"""})

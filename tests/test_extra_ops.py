@@ -362,7 +362,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_redact", "d_shard_assign", "d_zscore",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
            "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
-           "e_knn_graph"]
+           "e_knn_graph", "g_rollup"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1296,3 +1296,21 @@ def test_shard_attach_rejects_column_collision():
                   "h": pa.array([9], pa.int64())})
     with pytest.raises(ValueError, match="rename"):
         shard_attach(b)
+
+
+def test_rollup_levels_consistent(ray_session):
+    """The three rollup granularities must be internally consistent:
+    leaf counts sum to each type's row, type rows sum to the grand
+    total, and max aggregates dominate their children."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        ROLLUP_ALL, q_rollup)
+    out = q_rollup(SF).to_pandas()
+    leaf = out[(out["event_type"] != ROLLUP_ALL) & (out["day_us"] >= 0)]
+    lvl1 = out[(out["event_type"] != ROLLUP_ALL) & (out["day_us"] == -1)]
+    lvl0 = out[out["event_type"] == ROLLUP_ALL]
+    assert len(lvl0) == 1
+    assert lvl0["n_events"].iloc[0] == leaf["n_events"].sum()
+    per_type = leaf.groupby("event_type")["n_events"].sum()
+    got = lvl1.set_index("event_type")["n_events"]
+    assert got.sort_index().equals(per_type.sort_index())
+    assert lvl0["max_value"].iloc[0] == leaf["max_value"].max()
