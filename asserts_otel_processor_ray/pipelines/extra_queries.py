@@ -3410,3 +3410,84 @@ SELECT COALESCE(event_type, '{ROLLUP_ALL}') AS event_type,
   CAST(COALESCE(day_us, -1) AS BIGINT) AS day_us,
   count(*) AS n_events, max(value) AS max_value
 FROM e GROUP BY ROLLUP (event_type, day_us)"""})
+
+
+# ---- per-key inter-arrival (LAG window) statistics --------------------------
+
+def _lag_stats_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Block kernel after repartition(keys=['user_id']): each user's
+    events are block-local, so consecutive gaps under the total
+    (ts, event_id) order are computed with one vectorized diff.  All
+    integers (µs) — the mean is emitted as exact (sum, count) parts."""
+    if df.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series(dtype=np.int64),
+            "n_events": pd.Series(dtype=np.int64),
+            "first_ts": pd.Series(dtype=np.int64),
+            "last_ts": pd.Series(dtype=np.int64),
+            "gap_sum_us": pd.Series(dtype=np.int64),
+            "max_gap_us": pd.Series(dtype=np.int64)})
+    d = df.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort").reset_index(drop=True)
+    u = d["user_id"].to_numpy(np.int64)
+    ts = d["ts"].to_numpy(np.int64)
+    same = np.r_[False, u[1:] == u[:-1]]
+    gap = np.where(same, np.r_[0, ts[1:] - ts[:-1]], 0)
+    g = pd.DataFrame({"user_id": u, "ts": ts, "gap": gap,
+                      "has_gap": same.astype(np.int64)}) \
+        .groupby("user_id", sort=False).agg(
+            n_events=("ts", "size"), first_ts=("ts", "min"),
+            last_ts=("ts", "max"), gap_sum_us=("gap", "sum"),
+            max_gap_us=("gap", "max"),
+            n_gaps=("has_gap", "sum")).reset_index()
+    # users with one event have no gap: max stays 0, matching the
+    # oracle's COALESCE
+    for c in g.columns:
+        g[c] = g[c].astype(np.int64)
+    return g.drop(columns=["n_gaps"])
+
+
+def q_lag_stats(sf_dir: str) -> pa.Table:
+    """LAG-window family: per-user inter-arrival statistics (first /
+    last timestamp, total and max gap between consecutive events under
+    the deterministic (ts, event_id) order).  ONE hash repartition by
+    user — the sessionize/asof partitioning reused — then a block
+    kernel; output is one row per user, all exact integers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts": t.column("ts").cast(pa.int64()),
+        })
+
+    parted = ds.map_batches(_cast, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(_lag_stats_block, batch_format="pandas",
+                             batch_size=None)
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ("user_id", "n_events", "first_ts",
+                                   "last_ts", "gap_sum_us",
+                                   "max_gap_us")})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_lag_stats": q_lag_stats})
+EXTRA_ORACLE_SQL.update({"g_lag_stats": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+  CAST(min(ts) AS BIGINT) AS first_ts,
+  CAST(max(ts) AS BIGINT) AS last_ts,
+  CAST(COALESCE(sum(gap), 0) AS BIGINT) AS gap_sum_us,
+  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+FROM e GROUP BY user_id"""})

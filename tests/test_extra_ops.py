@@ -362,7 +362,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_redact", "d_shard_assign", "d_zscore",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
            "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
-           "e_knn_graph", "g_rollup"]
+           "e_knn_graph", "g_rollup", "g_lag_stats"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1314,3 +1314,22 @@ def test_rollup_levels_consistent(ray_session):
     got = lvl1.set_index("event_type")["n_events"]
     assert got.sort_index().equals(per_type.sort_index())
     assert lvl0["max_value"].iloc[0] == leaf["max_value"].max()
+
+
+def test_lag_stats_block_semantics():
+    """Gaps are consecutive diffs under (ts, event_id) order; a
+    single-event user reports zero gaps; ts ties yield zero-length
+    gaps, not negatives."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _lag_stats_block)
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 8, 9],
+        "ts": [100, 400, 400, 50, 0],
+    })
+    out = _lag_stats_block(df.sample(frac=1.0, random_state=3)) \
+        .set_index("user_id")
+    assert out.loc[7, "gap_sum_us"] == 300 and out.loc[7, "max_gap_us"] == 300
+    assert out.loc[7, "first_ts"] == 100 and out.loc[7, "last_ts"] == 400
+    assert out.loc[8, "gap_sum_us"] == 0 and out.loc[8, "n_events"] == 1
+    assert out.loc[9, "max_gap_us"] == 0
