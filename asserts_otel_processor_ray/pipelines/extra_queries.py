@@ -3491,3 +3491,177 @@ SELECT user_id, count(*) AS n_events,
   CAST(COALESCE(sum(gap), 0) AS BIGINT) AS gap_sum_us,
   CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
 FROM e GROUP BY user_id"""})
+
+
+# ---- pivot / crosstab --------------------------------------------------------
+
+PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def q_pivot(sf_dir: str) -> pa.Table:
+    """Crosstab: document counts per language × source, pivoted wide
+    (one int64 column per source).  Per-batch two-key partials → ONE
+    distributed groupby → the driver pivots the tiny (langs × sources)
+    frame.  Unknown sources fail loud (fixed output schema)."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return gb.rename_columns(["lang", "source", "partial_n"])
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]).aggregate(Sum("partial_n"))
+    df = _named(collect_df(agg), ["lang", "source", "n"])
+    if df.empty:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         **{s: pa.array([], pa.int64())
+                            for s in PIVOT_SOURCES}})
+    unknown = sorted(set(df["source"]) - set(PIVOT_SOURCES))
+    if unknown:
+        raise ValueError(f"sources outside the pivot schema: {unknown}")
+    wide = df.pivot_table(index="lang", columns="source", values="n",
+                          aggfunc="sum", fill_value=0) \
+        .reindex(columns=PIVOT_SOURCES, fill_value=0) \
+        .sort_index().reset_index()
+    wide.columns.name = None
+    for s in PIVOT_SOURCES:
+        wide[s] = wide[s].astype(np.int64)
+    return pa.Table.from_pandas(wide, preserve_index=False)
+
+
+def _pivot_sql() -> str:
+    cols = ",\n  ".join(
+        f"CAST(count(*) FILTER (source = '{s}') AS BIGINT) AS {s}"
+        for s in PIVOT_SOURCES)
+    return f"SELECT lang,\n  {cols}\nFROM documents GROUP BY lang"
+
+
+EXTRA_QUERIES.update({"d_pivot": q_pivot})
+EXTRA_ORACLE_SQL.update({"d_pivot": _pivot_sql()})
+
+
+# ---- Bloom-filter semi-join (broadcast-filter pushdown) ---------------------
+#
+# The classic big-join accelerator: build a Bloom filter over the
+# small side's keys (purchase users), broadcast the BITMAP (m/8 bytes
+# — kilobytes, vs the g_semi_join key array's 8 bytes/key), probe
+# every event vectorized.  Deterministic hash functions make even the
+# FALSE POSITIVES reproducible, so the filter itself gets an exact
+# DuckDB oracle: the occupied-position set and the all-k-bits-set
+# probe are re-expressed in SQL.
+
+BLOOM_M = 1 << 14                 # bits
+BLOOM_SEEDS = (402_653_189, 805_306_457, 201_326_611)   # k = 3, odd
+
+
+def _bloom_positions(u: np.ndarray) -> np.ndarray:
+    """(len(u), k) bit positions via the avalanche-mixed hash —
+    order-statistic-quality mixing matters here too (affine maps of
+    sequential ids would stripe the bitmap)."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        _MOD, mix_hash61)
+    if len(u) and u.min() < 0:
+        raise ValueError("negative user_id: floored vs truncated "
+                         "modulo would diverge from the SQL oracle")
+    um = (u % np.int64(_MOD)).astype(np.uint64)
+    cols = [mix_hash61(um, KMV_A, np.uint64(s), KMV_A2)
+            % np.uint64(BLOOM_M) for s in BLOOM_SEEDS]
+    return np.stack(cols, axis=1).astype(np.int64)
+
+
+def q_bloom_semi(sf_dir: str) -> pa.Table:
+    """Events whose user MIGHT be a buyer, per the Bloom filter —
+    counted per event type.  Build: distributed dedupe of per-batch
+    position partials → the driver ORs a BLOOM_M-bit bitmap → ONE
+    ray.put broadcast.  Probe: pure per-batch bit test.  Includes the
+    filter's deterministic false positives — exactly what the oracle
+    computes."""
+    import pyarrow.compute as apc
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def _pos_partial(t: pa.Table) -> pa.Table:
+        buyers = apc.unique(
+            t.filter(apc.equal(t.column("event_type"),
+                               "purchase")).column("user_id"))
+        pos = _bloom_positions(buyers.to_numpy(zero_copy_only=False))
+        return pa.table({"pos": pa.array(np.unique(pos.ravel()),
+                                         pa.int64())})
+
+    pdf = collect_df(ds.map_batches(_pos_partial,
+                                    batch_format="pyarrow"))
+    bits = np.zeros(BLOOM_M, bool)
+    if not pdf.empty:
+        bits[np.unique(pdf["pos"].to_numpy(np.int64))] = True
+    ref = ray.put(bits)
+
+    class _ProbeStage:
+        def __init__(self, r):
+            import ray as _ray
+            self.bits = _ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t.column("user_id").to_numpy()
+            pos = _bloom_positions(u)
+            hit = self.bits[pos].all(axis=1)
+            g = pd.DataFrame({
+                "event_type": t.column("event_type").to_numpy(
+                    zero_copy_only=False),
+                "hit": hit.astype(np.int64),
+            }).groupby("event_type", sort=False, as_index=False).agg(
+                maybe_buyer_events=("hit", "sum"),
+                n_events=("hit", "size"))
+            for c in ("maybe_buyer_events", "n_events"):
+                g[c] = g[c].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(_ProbeStage, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", concurrency=(1, 4))
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "maybe_buyer_events": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    m = df.groupby("event_type", sort=True, as_index=False).sum()
+    for c in ("maybe_buyer_events", "n_events"):
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+def _bloom_sql() -> str:
+    mixes = []
+    for j, s in enumerate(BLOOM_SEEDS):
+        mixes.append(f"""
+h{j} AS (
+  SELECT user_id, xor(h, h >> 29) % {BLOOM_M} AS pos FROM (
+    SELECT user_id,
+      CAST((CAST(xor(h, h >> 31) AS HUGEINT) * {KMV_A2})
+           % 2305843009213693951 AS BIGINT) AS h
+    FROM (SELECT user_id,
+            CAST((CAST(user_id AS HUGEINT) * {KMV_A} + {s})
+                 % 2305843009213693951 AS BIGINT) AS h
+          FROM u)))""")
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+buyers AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase'),
+{','.join(m.strip() for m in mixes)},
+pos AS (SELECT user_id, 0 AS j, pos FROM h0
+        UNION ALL SELECT user_id, 1, pos FROM h1
+        UNION ALL SELECT user_id, 2, pos FROM h2),
+bset AS (SELECT DISTINCT pos FROM pos
+         WHERE user_id IN (SELECT user_id FROM buyers)),
+hits AS (
+  SELECT p.user_id FROM pos p JOIN bset b ON p.pos = b.pos
+  GROUP BY p.user_id HAVING count(*) = 3)
+SELECT event_type,
+  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM hits))
+       AS BIGINT) AS maybe_buyer_events,
+  count(*) AS n_events
+FROM events GROUP BY event_type"""
+
+
+EXTRA_QUERIES.update({"g_bloom_semi": q_bloom_semi})
+EXTRA_ORACLE_SQL.update({"g_bloom_semi": _bloom_sql()})

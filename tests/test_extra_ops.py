@@ -362,7 +362,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_redact", "d_shard_assign", "d_zscore",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
            "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
-           "e_knn_graph", "g_rollup", "g_lag_stats"]
+           "e_knn_graph", "g_rollup", "g_lag_stats", "d_pivot",
+           "g_bloom_semi"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1333,3 +1334,26 @@ def test_lag_stats_block_semantics():
     assert out.loc[7, "first_ts"] == 100 and out.loc[7, "last_ts"] == 400
     assert out.loc[8, "gap_sum_us"] == 0 and out.loc[8, "n_events"] == 1
     assert out.loc[9, "max_gap_us"] == 0
+
+
+def test_pivot_row_sums_match_lang_counts(ray_session, ducks):
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        PIVOT_SOURCES, q_pivot)
+    out = q_pivot(SF).to_pandas().set_index("lang")
+    want = ducks.sql(
+        "SELECT lang, count(*) n FROM documents GROUP BY lang").df() \
+        .set_index("lang")["n"]
+    got = out[PIVOT_SOURCES].sum(axis=1)
+    assert got.sort_index().astype(int).equals(
+        want.sort_index().astype(int))
+
+
+def test_bloom_semi_no_false_negatives(ray_session):
+    """Bloom membership can only ADD events (false positives) relative
+    to the exact semi-join — never lose a true buyer's event."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_bloom_semi, q_semi_join)
+    bloom = q_bloom_semi(SF).to_pandas().set_index("event_type")
+    exact = q_semi_join(SF).to_pandas().set_index("event_type")
+    for et, row in exact.iterrows():
+        assert bloom.loc[et, "maybe_buyer_events"] >= row["n_events"], et
