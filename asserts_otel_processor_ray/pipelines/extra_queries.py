@@ -3665,3 +3665,56 @@ FROM events GROUP BY event_type"""
 
 EXTRA_QUERIES.update({"g_bloom_semi": q_bloom_semi})
 EXTRA_ORACLE_SQL.update({"g_bloom_semi": _bloom_sql()})
+
+
+# ---- first-seen cohorts (daily new users) -----------------------------------
+
+def q_new_users(sf_dir: str) -> pa.Table:
+    """Daily new users — the first-seen growth metric: per-batch
+    (user, min ts) partials → ONE distributed groupby(user).min →
+    per-batch day-bucket partial counts → tiny exact driver merge.
+    The second reduction rides the first's output blocks (users ×
+    blocks rows), so only pre-reduced rows ever move."""
+    from ray.data.aggregate import Min
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def _first_partial(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["user_id"]).aggregate([("ts", "min")])
+        return gb.rename_columns(["user_id", "first_ts"])
+
+    agg = ds.map_batches(_first_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("first_ts"))
+
+    def _day_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns != 2:
+            return pa.table({"day_us": pa.array([], pa.int64()),
+                             "n_new": pa.array([], pa.int64())})
+        ts = t.column(1).cast(pa.int64()).to_numpy()
+        day = ts - ts % _DAY_US
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day_us": pa.array(uniq, pa.int64()),
+                         "n_new": pa.array(cnt.astype(np.int64),
+                                           pa.int64())})
+
+    out = agg.map_batches(_day_partial, batch_format="pyarrow")
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"day": pa.array([], pa.timestamp("us")),
+                         "n_new_users": pa.array([], pa.int64())})
+    m = df.groupby("day_us", sort=True, as_index=False)["n_new"].sum()
+    return pa.table({
+        "day": pa.array(m["day_us"].to_numpy(np.int64)
+                        .astype("datetime64[us]"), pa.timestamp("us")),
+        "n_new_users": pa.array(m["n_new"].to_numpy(np.int64),
+                                pa.int64()),
+    })
+
+
+EXTRA_QUERIES.update({"g_new_users": q_new_users})
+EXTRA_ORACLE_SQL.update({"g_new_users": """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+           GROUP BY user_id)
+SELECT date_trunc('day', first_ts) AS day,
+  count(*) AS n_new_users
+FROM f GROUP BY 1"""})

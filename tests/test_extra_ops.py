@@ -363,7 +363,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
            "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
            "e_knn_graph", "g_rollup", "g_lag_stats", "d_pivot",
-           "g_bloom_semi"]
+           "g_bloom_semi", "g_new_users"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -1357,3 +1357,14 @@ def test_bloom_semi_no_false_negatives(ray_session):
     exact = q_semi_join(SF).to_pandas().set_index("event_type")
     for et, row in exact.iterrows():
         assert bloom.loc[et, "maybe_buyer_events"] >= row["n_events"], et
+
+
+def test_new_users_sum_is_distinct_users(ray_session, ducks):
+    """Every user is new exactly once: Σ n_new_users == distinct
+    users, regardless of day bucketing."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_new_users)
+    out = q_new_users(SF).to_pandas()
+    want = ducks.sql(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert out["n_new_users"].sum() == want
