@@ -3718,3 +3718,49 @@ WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
 SELECT date_trunc('day', first_ts) AS day,
   count(*) AS n_new_users
 FROM f GROUP BY 1"""})
+
+
+# ---- per-dimension embedding statistics -------------------------------------
+
+def q_dim_stats(sf_dir: str) -> pa.Table:
+    """Feature-wise statistics over the embedding matrix (per
+    dimension: min, max, n) — the scan a vector-normalization /
+    clipping step needs.  Per-batch numpy axis-0 partials (dims × 3
+    numbers per batch, regardless of batch size) → tiny driver merge.
+    Min/max are order-independent, so the float columns are
+    oracle-exact; the mean is one division away and deliberately left
+    out (float sums are order-dependent across a distributed scan)."""
+    ds = _emb(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = S._matrix(t)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64),
+                            pa.int64()),
+            "vmin": pa.array(m.min(axis=0), pa.float64()),
+            "vmax": pa.array(m.max(axis=0), pa.float64()),
+            "n": pa.array(np.full(d, m.shape[0], np.int64), pa.int64()),
+        })
+
+    df = collect_df(ds.map_batches(_partial, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "vmin": pa.array([], pa.float64()),
+                         "vmax": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64())})
+    m = df.groupby("dim", sort=True).agg(
+        vmin=("vmin", "min"), vmax=("vmax", "max"),
+        n=("n", "sum")).reset_index()
+    m["n"] = m["n"].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"e_dim_stats": q_dim_stats})
+EXTRA_ORACLE_SQL.update({"e_dim_stats": """
+WITH dims AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings)
+SELECT dim, min(CAST(embedding[dim] AS DOUBLE)) AS vmin,
+  max(CAST(embedding[dim] AS DOUBLE)) AS vmax, count(*) AS n
+FROM dims GROUP BY dim"""})

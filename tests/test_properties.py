@@ -150,3 +150,31 @@ def test_pricing_partial_split_invariance(rows, cut):
     split = parts.groupby(["l_returnflag", "l_linestatus"]).sum() \
         .sort_index()
     pd.testing.assert_frame_equal(whole, split)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62),
+                min_size=1, max_size=30))
+def test_mix_hash61_matches_duckdb_chain(ids):
+    """mix_hash61 (affine → xorshift 31 → mulmod → xorshift 29) must
+    equal the SQL chain the KMV / Bloom oracles run, bit for bit, on
+    arbitrary non-negative ids."""
+    import duckdb
+
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        KMV_A, KMV_A2, KMV_B)
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        mix_hash61)
+    u = np.array(ids, dtype=np.uint64) % np.uint64(MOD)
+    got = mix_hash61(u, KMV_A, KMV_B, KMV_A2).tolist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS u",
+                [[int(v) for v in u.tolist()]])
+    want = [r[0] for r in con.execute(f"""
+        WITH h1 AS (SELECT rowid, CAST((CAST(u AS HUGEINT) * {KMV_A}
+                    + {KMV_B}) % {MOD} AS BIGINT) AS h FROM t),
+        h2 AS (SELECT rowid, xor(h, h >> 31) AS h FROM h1),
+        h3 AS (SELECT rowid, CAST((CAST(h AS HUGEINT) * {KMV_A2})
+                   % {MOD} AS BIGINT) AS h FROM h2)
+        SELECT xor(h, h >> 29) FROM h3 ORDER BY rowid""").fetchall()]
+    assert got == want
