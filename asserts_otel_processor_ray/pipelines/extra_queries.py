@@ -3764,3 +3764,74 @@ WITH dims AS (
 SELECT dim, min(CAST(embedding[dim] AS DOUBLE)) AS vmin,
   max(CAST(embedding[dim] AS DOUBLE)) AS vmax, count(*) AS n
 FROM dims GROUP BY dim"""})
+
+
+# ---- term-distribution drift between corpus halves ---------------------------
+
+DRIFT_TOPK = 20
+
+
+def q_term_drift(sf_dir: str) -> pa.Table:
+    """Distribution-shift detector for corpus QA: split the corpus by
+    doc_id parity, count term occurrences on each side (ONE
+    distributed groupby over per-batch partials carrying a side key),
+    and rank terms by the exact integer cross-product divergence
+    |c_even·N_odd − c_odd·N_even| — scale-free like a rate diff but
+    with no float anywhere.  Exact two-phase top-20 under the total
+    (score desc, token) order."""
+    from ray.data.aggregate import Sum
+    docs = _docs(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        side = (t.column("doc_id").to_numpy() % 2).astype(np.int64)
+        toks = T._tokens_series(t.column("text"))
+        ex = toks.explode().dropna()
+        df = pd.DataFrame({"side": side[ex.index.to_numpy()],
+                           "token": ex.to_numpy()})
+        g = df.groupby(["side", "token"], sort=False).size() \
+            .reset_index(name="partial_c")
+        g["partial_c"] = g["partial_c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = docs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["side", "token"]).aggregate(Sum("partial_c"))
+    long = _named(collect_df(agg), ["side", "token", "c"])
+    if long.empty:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "c_even": pa.array([], pa.int64()),
+                         "c_odd": pa.array([], pa.int64()),
+                         "drift": pa.array([], pa.int64())})
+    # NOTE: the driver frame is O(vocab) here; this corpus family has
+    # a bounded vocabulary (the doc_freq op's distributed top-K shape
+    # is the unbounded-vocab path).
+    wide = long.pivot_table(index="token", columns="side", values="c",
+                            aggfunc="sum", fill_value=0) \
+        .reindex(columns=[0, 1], fill_value=0)
+    ce = wide[0].to_numpy(np.int64)
+    co = wide[1].to_numpy(np.int64)
+    ne, no = int(ce.sum()), int(co.sum())
+    drift = np.abs(ce * no - co * ne)
+    out = pd.DataFrame({"token": wide.index.to_numpy(),
+                        "c_even": ce, "c_odd": co, "drift": drift})
+    out = out.sort_values(["drift", "token"],
+                          ascending=[False, True], kind="mergesort") \
+        .head(DRIFT_TOPK).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_term_drift": q_term_drift})
+EXTRA_ORACLE_SQL.update({"d_term_drift": f"""
+WITH tok AS (
+  SELECT doc_id % 2 AS side,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+c AS (
+  SELECT token,
+    CAST(count(*) FILTER (side = 0) AS BIGINT) AS c_even,
+    CAST(count(*) FILTER (side = 1) AS BIGINT) AS c_odd
+  FROM tok GROUP BY token),
+n AS (SELECT sum(c_even) AS ne, sum(c_odd) AS no FROM c)
+SELECT token, c_even, c_odd,
+  CAST(abs(c_even * n.no - c_odd * n.ne) AS BIGINT) AS drift
+FROM c, n
+ORDER BY drift DESC, token LIMIT {DRIFT_TOPK}"""})

@@ -363,7 +363,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "s_jsonl", "s_csv_events", "g_hopping", "d_percentile_filter",
            "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
            "e_knn_graph", "g_rollup", "g_lag_stats", "d_pivot",
-           "g_bloom_semi", "g_new_users", "e_dim_stats"]
+           "g_bloom_semi", "g_new_users", "e_dim_stats",
+           "d_term_drift"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
