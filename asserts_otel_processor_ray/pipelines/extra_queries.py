@@ -3835,3 +3835,132 @@ SELECT token, c_even, c_odd,
   CAST(abs(c_even * n.no - c_odd * n.ne) AS BIGINT) AS drift
 FROM c, n
 ORDER BY drift DESC, token LIMIT {DRIFT_TOPK}"""})
+
+
+# ---- market-basket pair co-occurrence ----------------------------------------
+
+BASKET_TOPK = 50
+_BASKET_PK_BASE = np.int64(1) << 31
+
+
+def _basket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Within-order part pairs for a hash partition of lineitem.  The
+    repartition makes each order block-local, so pair generation needs
+    no further exchange.  Fully vectorized: orders are grouped by
+    distinct-part count n, and for each n one triu_indices template is
+    broadcast across all that-size orders (TPC-H order sizes are tiny,
+    so there are only a handful of templates per block)."""
+    cols = {"pk": pd.Series(dtype=np.int64),
+            "partial_c": pd.Series(dtype=np.int64)}
+    if df.empty:
+        return pd.DataFrame(cols)
+    d = df.drop_duplicates().sort_values(
+        ["l_orderkey", "l_partkey"], kind="mergesort")
+    parts = d["l_partkey"].to_numpy(np.int64)
+    ok = d["l_orderkey"].to_numpy(np.int64)
+    # group starts / sizes over the sorted order column
+    change = np.flatnonzero(np.diff(ok)) + 1
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [len(ok)])))
+    out_a, out_b = [], []
+    for n in np.unique(sizes):
+        if n < 2:
+            continue
+        s = starts[sizes == n]
+        iu, ju = np.triu_indices(n, k=1)
+        out_a.append(parts[(s[:, None] + iu).ravel()])
+        out_b.append(parts[(s[:, None] + ju).ravel()])
+    if not out_a:
+        return pd.DataFrame(cols)
+    pa_arr = np.concatenate(out_a)
+    pb_arr = np.concatenate(out_b)
+    # pack the pair into ONE int64 key: the multi-key groupby.aggregate
+    # is the measured slow path (28.6 s vs <1 s at sf0.01), and a
+    # single-key hash repartition + block reduce is the repo's
+    # established shape for pair keys.  Fail loud outside the packable
+    # range rather than corrupting keys (ADVICE r4 on _ngram_pack_pk).
+    if pa_arr.size and (pa_arr.min() < 0 or pb_arr.max() >= _BASKET_PK_BASE):
+        raise ValueError("part key outside packable range for pair key")
+    g = pd.DataFrame({"pk": pa_arr * _BASKET_PK_BASE + pb_arr}) \
+        .groupby("pk", sort=False).size().reset_index(name="partial_c")
+    g["partial_c"] = g["partial_c"].astype(np.int64)
+    return g
+
+
+def _basket_reduce_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Block-local final for a pk hash partition: each pair key lives
+    in exactly ONE partition after the repartition, so a pandas
+    groupby-sum here IS the global count, and the per-block top-K
+    under the total order (n_orders desc, part_a, part_b) — which the
+    packed key preserves, pk ordering == (part_a, part_b) ordering —
+    is an exact two-phase top-K."""
+    if df.empty:
+        return pd.DataFrame({"part_a": pd.Series(dtype=np.int64),
+                             "part_b": pd.Series(dtype=np.int64),
+                             "n_orders": pd.Series(dtype=np.int64)})
+    g = df.groupby("pk", sort=False)["partial_c"].sum().reset_index()
+    g = g.sort_values(["partial_c", "pk"], ascending=[False, True],
+                      kind="mergesort").head(BASKET_TOPK)
+    pk = g["pk"].to_numpy(np.int64)
+    return pd.DataFrame({"part_a": pk // _BASKET_PK_BASE,
+                         "part_b": pk % _BASKET_PK_BASE,
+                         "n_orders": g["partial_c"].to_numpy(np.int64)})
+
+
+def _basket_topk_final(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return df
+    return df.sort_values(["n_orders", "part_a", "part_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(BASKET_TOPK)
+
+
+def q_basket_pairs(sf_dir: str) -> pa.Table:
+    """Market-basket analysis over lineitem: the top-50 part pairs by
+    the number of orders containing both.  Per-batch (order, part)
+    dedupe shrinks the exchange; ONE hash repartition by l_orderkey
+    makes orders block-local; pair explosion is bounded by order size
+    (≤ a few lines per order, so ≤ ~tens of pairs); pair counts ride a
+    SECOND single-int64-key hash repartition (the pair packed as one
+    int64 — the multi-key groupby.aggregate is the measured slow path)
+    with a block-local reduce and an exact two-phase top-K — the
+    driver never holds O(distinct pairs) rows."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    nparts = shuffle_width(li.count())
+    use_hash_shuffle(li, nparts)
+
+    def _dedup_partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "l_partkey": t.column("l_partkey").to_numpy(),
+            }).drop_duplicates(), preserve_index=False)
+
+    part = li.map_batches(_dedup_partial, batch_format="pyarrow")
+    parted = part.repartition(num_blocks=nparts, keys=["l_orderkey"])
+    pairs = parted.map_batches(_basket_pairs_block, batch_format="pandas")
+    by_pk = pairs.repartition(num_blocks=nparts, keys=["pk"])
+    topped = by_pk.map_batches(_basket_reduce_block, batch_format="pandas")
+    out = _basket_topk_final(collect_df(topped))
+    if out.empty:
+        return pa.table({"part_a": pa.array([], pa.int64()),
+                         "part_b": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
+    out = out.reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out[["part_a", "part_b", "n_orders"]],
+                                preserve_index=False)
+
+
+EXTRA_QUERIES.update({"h_basket_pairs": q_basket_pairs})
+EXTRA_ORACLE_SQL.update({"h_basket_pairs": f"""
+WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    count(*) AS n_orders
+  FROM dp a JOIN dp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT {BASKET_TOPK}"""})

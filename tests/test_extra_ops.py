@@ -1369,3 +1369,29 @@ def test_new_users_sum_is_distinct_users(ray_session, ducks):
     want = ducks.sql(
         "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert out["n_new_users"].sum() == want
+
+
+def test_basket_pairs_block_kernel():
+    """The vectorized per-size pair template matches an explicit
+    per-order enumeration, dups within an order collapse, and the
+    packed key round-trips."""
+    import itertools
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _BASKET_PK_BASE, _basket_pairs_block)
+    rng = np.random.RandomState(7)
+    orders = np.repeat(np.arange(40), rng.randint(1, 8, 40))
+    parts = rng.randint(1, 25, len(orders))
+    df = pd.DataFrame({"l_orderkey": orders, "l_partkey": parts})
+    got = _basket_pairs_block(df)
+    want = {}
+    for _, grp in df.groupby("l_orderkey"):
+        for a, b in itertools.combinations(
+                sorted(set(grp["l_partkey"])), 2):
+            want[a * int(_BASKET_PK_BASE) + b] = \
+                want.get(a * int(_BASKET_PK_BASE) + b, 0) + 1
+    assert dict(zip(got["pk"], got["partial_c"])) == want
+    # fail-loud outside the packable range (ADVICE r4 pattern)
+    bad = pd.DataFrame({"l_orderkey": [1, 1],
+                        "l_partkey": [2, int(_BASKET_PK_BASE) + 3]})
+    with pytest.raises(ValueError):
+        _basket_pairs_block(bad)
