@@ -3964,3 +3964,197 @@ p AS (
   GROUP BY 1, 2)
 SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
 FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT {BASKET_TOPK}"""})
+
+
+# ---- distributed anti-join ---------------------------------------------------
+
+def _anti_join_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Block-local anti for one hash partition of the tagged union:
+    the repartition co-locates every row of a key, so a key with no
+    probe-side (side=1) row here has none anywhere."""
+    if df.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                             "c_nationkey": pd.Series(dtype=np.int64),
+                             "c_acctbal": pd.Series(dtype=np.float64)})
+    have = np.unique(df.loc[df["side"] == 1, "key"].to_numpy(np.int64))
+    keep = df[(df["side"] == 0)
+              & ~df["key"].isin(have)]
+    return pd.DataFrame({
+        "c_custkey": keep["key"].to_numpy(np.int64),
+        "c_nationkey": keep["c_nationkey"].to_numpy(np.int64),
+        "c_acctbal": keep["c_acctbal"].to_numpy(np.float64)})
+
+
+def q_anti_join(sf_dir: str) -> pa.Table:
+    """Distributed ANTI join — customers who never placed an order —
+    as a tagged union: build side (customer rows, side=0, payload
+    kept) and probe side (per-batch-deduped order custkeys, side=1)
+    are unioned into ONE dataset and hash-repartitioned by key ONCE;
+    each block then drops build rows whose key has a probe row.  No
+    broadcast (exact even when the probe side's distinct-key set
+    exceeds driver memory — the complement of the Bloom/semi-join
+    family, where false positives would here LOSE rows)."""
+    import pyarrow.compute as apc
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ords = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+
+    def _build_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("c_custkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "c_acctbal": t.column("c_acctbal").cast(pa.float64())})
+
+    def _probe_side(t: pa.Table) -> pa.Table:
+        u = apc.unique(t.column("o_custkey").cast(pa.int64()))
+        n = len(u)
+        return pa.table({
+            "key": u,
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "c_nationkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "c_acctbal": pa.array(np.zeros(n, np.float64), pa.float64())})
+
+    tagged = cust.map_batches(_build_side, batch_format="pyarrow").union(
+        ords.map_batches(_probe_side, batch_format="pyarrow"))
+    nparts = shuffle_width(cust.count() + ords.count())
+    use_hash_shuffle(tagged, nparts)
+    parted = tagged.repartition(num_blocks=nparts, keys=["key"])
+    out = collect_df(parted.map_batches(_anti_join_block,
+                                        batch_format="pandas"))
+    if out.empty:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_nationkey": pa.array([], pa.int64()),
+                         "c_acctbal": pa.array([], pa.float64())})
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"h_anti_join": q_anti_join})
+EXTRA_ORACLE_SQL.update({"h_anti_join": """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""})
+
+
+# ---- lexical diversity (type-token ratio) ------------------------------------
+
+def _ttr_batch(t: pa.Table) -> pa.Table:
+    """Per-document type-token ratio — doc-local, so a pure map stage
+    with no exchange.  Counts are exact integers; the ratio is ONE
+    IEEE division mirrored verbatim by the oracle (no float sums to
+    drift across a distributed scan)."""
+    import pyarrow.compute as apc
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "n_types": pa.array([], pa.int64()),
+                         "ttr": pa.array([], pa.float64())})
+    toks = T._tokens_series(t.column("text"))
+    ids = t.column("doc_id").to_numpy()
+    n_tokens = toks.str.len().to_numpy(np.int64)
+    ex = toks.explode()
+    long = pd.DataFrame({"row": ex.index.to_numpy(), "token": ex.to_numpy()})
+    n_types = long.drop_duplicates().groupby("row", sort=True).size() \
+        .reindex(np.arange(len(ids)), fill_value=0).to_numpy(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_types": pa.array(n_types, pa.int64()),
+        "ttr": pa.array(n_types.astype(np.float64)
+                        / n_tokens.astype(np.float64), pa.float64())})
+
+
+def q_ttr(sf_dir: str) -> pa.Table:
+    """Lexical-diversity scoring for corpus curation: per-doc token
+    count, distinct-token count and type-token ratio."""
+    part = _docs(sf_dir).map_batches(_ttr_batch, batch_format="pyarrow")
+    df = collect_df(part)
+    if df.empty:
+        return _ttr_batch(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_ttr": q_ttr})
+EXTRA_ORACLE_SQL.update({"d_ttr": """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents)
+SELECT doc_id, count(*) AS n_tokens,
+  count(DISTINCT token) AS n_types,
+  CAST(count(DISTINCT token) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ttr
+FROM tok GROUP BY doc_id"""})
+
+
+# ---- equi-width value histogram ----------------------------------------------
+
+HIST_NBINS = 10
+
+
+def q_value_histogram(sf_dir: str) -> pa.Table:
+    """Equi-width histogram of event value per event type — the
+    classic TWO-scan shape: pass 1 reduces (min, max) per batch to a
+    driver pair of scalars (order-independent, so float-exact); pass 2
+    bins each batch with one affine expression mirrored token-for-token
+    by the oracle (floor((v − min)·nb / (max − min)) — IEEE doubles are
+    deterministic, so identical expressions give identical bins) and
+    emits per-batch (type, bin) partial counts; the driver merge holds
+    ≤ blocks × types × nb rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as apc
+        if t.num_rows == 0:
+            return pa.table({"vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        return pa.table({
+            "vmin": pa.array([apc.min(t.column("value")).as_py()],
+                             pa.float64()),
+            "vmax": pa.array([apc.max(t.column("value")).as_py()],
+                             pa.float64())})
+
+    mm = collect_df(ds.map_batches(_minmax, batch_format="pyarrow"))
+    if mm.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "bin": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    vmin, vmax = float(mm["vmin"].min()), float(mm["vmax"].max())
+    span = vmax - vmin
+
+    def _bin_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        if span > 0:
+            b = np.minimum(np.floor((v - vmin) * float(HIST_NBINS) / span),
+                           HIST_NBINS - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), np.int64)
+        g = pd.DataFrame({"event_type": t.column("event_type").to_numpy(),
+                          "bin": b}) \
+            .groupby(["event_type", "bin"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(ds.map_batches(_bin_partial, batch_format="pyarrow"))
+    out = df.groupby(["event_type", "bin"], sort=True, as_index=False)["c"] \
+        .sum().rename(columns={"c": "n_events"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["bin"] = out["bin"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_value_histogram": q_value_histogram})
+EXTRA_ORACLE_SQL.update({"g_value_histogram": f"""
+WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+SELECT event_type,
+  CASE WHEN mm.vmax > mm.vmin THEN least(CAST(floor(
+      (value - mm.vmin) * {HIST_NBINS}.0 / (mm.vmax - mm.vmin))
+      AS BIGINT), {HIST_NBINS - 1}) ELSE 0 END AS bin,
+  count(*) AS n_events
+FROM events, mm GROUP BY 1, 2"""})

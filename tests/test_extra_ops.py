@@ -1395,3 +1395,37 @@ def test_basket_pairs_block_kernel():
                         "l_partkey": [2, int(_BASKET_PK_BASE) + 3]})
     with pytest.raises(ValueError):
         _basket_pairs_block(bad)
+
+
+def test_anti_join_complements_orders(ray_session, ducks):
+    """Anti-join size == customers − customers-with-orders, and no
+    returned customer appears in orders."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_anti_join)
+    out = q_anti_join(SF).to_pandas()
+    n_cust, n_with = ducks.sql(
+        "SELECT (SELECT count(*) FROM customer), "
+        "count(DISTINCT o_custkey) FROM orders").fetchone()
+    assert len(out) == n_cust - n_with
+    buyers = set(ducks.sql(
+        "SELECT DISTINCT o_custkey FROM orders").df()["o_custkey"])
+    assert not (set(out["c_custkey"]) & buyers)
+
+
+def test_ttr_bounds(ray_session):
+    """0 < ttr <= 1 and n_types <= n_tokens on every document."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import q_ttr
+    out = q_ttr(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["n_types"] <= out["n_tokens"]).all()
+    assert ((out["ttr"] > 0) & (out["ttr"] <= 1.0)).all()
+
+
+def test_value_histogram_preserves_total(ray_session, ducks):
+    """Binning loses no rows: Σ n_events == count(events)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        HIST_NBINS, q_value_histogram)
+    out = q_value_histogram(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert out["n_events"].sum() == total
+    assert out["bin"].between(0, HIST_NBINS - 1).all()
