@@ -1429,3 +1429,16 @@ def test_value_histogram_preserves_total(ray_session, ducks):
     total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
     assert out["n_events"].sum() == total
     assert out["bin"].between(0, HIST_NBINS - 1).all()
+
+
+def test_ntile_bucket_matches_duckdb(ducks):
+    """_ntile_bucket reproduces ANSI ntile(k) for every n in 1..25,
+    including n < k (one row per bucket) and ragged remainders."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _ntile_bucket)
+    for n in range(1, 26):
+        want = ducks.sql(
+            f"SELECT ntile(4) OVER (ORDER BY r) FROM range({n}) t(r)"
+        ).df().iloc[:, 0].to_numpy(np.int64)
+        got = _ntile_bucket(np.arange(n, dtype=np.int64), n, 4)
+        assert (got == want).all(), n
