@@ -4275,3 +4275,207 @@ SELECT user_id, n_events,
   CAST(ntile({NTILE_K}) OVER (ORDER BY n_events, user_id) AS BIGINT)
     AS quartile
 FROM c"""})
+
+
+# ---- per-user modal event type -------------------------------------------------
+
+def q_user_mode(sf_dir: str) -> pa.Table:
+    """Per-user MODE (most frequent event type, ties to the
+    lexicographically smallest type): per-batch (user, type) count
+    partials shrink the exchange; ONE hash repartition by user_id
+    makes each user's partials block-local, where a sum + total-order
+    sort + first-row-per-user completes the exact argmax — no global
+    sort, no O(users × types) driver frame."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "event_type": t.column("event_type").to_numpy(),
+        }).groupby(["user_id", "event_type"], sort=False).size() \
+            .reset_index(name="partial_c")
+        g["partial_c"] = g["partial_c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _mode_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "mode_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64)})
+        g = df.groupby(["user_id", "event_type"], sort=False)["partial_c"] \
+            .sum().reset_index(name="n")
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(np.int64),
+                             "mode_type": top["event_type"].to_numpy(),
+                             "n": top["n"].to_numpy(np.int64)})
+
+    nparts = shuffle_width(ev.count())
+    use_hash_shuffle(ev, nparts)
+    out = collect_df(
+        ev.map_batches(_pair_partial, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=["user_id"])
+        .map_batches(_mode_block, batch_format="pandas"))
+    if out.empty:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "mode_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_user_mode": q_user_mode})
+EXTRA_ORACLE_SQL.update({"g_user_mode": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
+           GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1"""})
+
+
+# ---- CUBE aggregate ------------------------------------------------------------
+
+def q_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (event_type, weekday): all four granularities —
+    leaf, per-type, per-weekday, grand — synthesized from ONE pass of
+    per-batch leaf count partials (types × 7 rows per batch) and a
+    tiny driver merge; NULL dimension values mark rolled-up levels as
+    in ANSI CUBE.  Weekday is an epoch-day modulus (epoch day 0 is a
+    Thursday → weekday 4), not a calendar lookup, mirrored verbatim
+    by the oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def _leaf_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        wd = ((ts // _DAY_US) + 4) % 7
+        g = pd.DataFrame({"event_type": t.column("event_type").to_numpy(),
+                          "weekday": wd.astype(np.int64)}) \
+            .groupby(["event_type", "weekday"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(ds.map_batches(_leaf_partial, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "weekday": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    leaf = df.groupby(["event_type", "weekday"], sort=True,
+                      as_index=False)["c"].sum()
+    by_type = leaf.groupby("event_type", as_index=False)["c"].sum()
+    by_type["weekday"] = np.nan
+    by_wd = leaf.groupby("weekday", as_index=False)["c"].sum()
+    by_wd["event_type"] = None
+    grand = pd.DataFrame({"event_type": [None], "weekday": [np.nan],
+                          "c": [leaf["c"].sum()]})
+    out = pd.concat([leaf, by_type, by_wd, grand], ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "weekday": pa.array(
+            [None if pd.isna(v) else int(v) for v in out["weekday"]],
+            pa.int64()),
+        "n_events": pa.array(out["c"].to_numpy(np.int64), pa.int64())})
+
+
+EXTRA_QUERIES.update({"g_cube": q_cube})
+EXTRA_ORACLE_SQL.update({"g_cube": """
+SELECT event_type,
+  CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS weekday,
+  count(*) AS n_events
+FROM events GROUP BY CUBE (1, 2)"""})
+
+
+# ---- banded edit-distance near-dup --------------------------------------------
+
+EDIT_PREFIX = 8      # band key: docs sharing this lowered prefix
+EDIT_WIDTH = 32      # distance computed on this prefix
+EDIT_MAX_DIST = 8
+
+
+def _edit_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    """All within-band pairs for one hash partition of prefix bands,
+    with the MinHash-style hot-bucket guard (a degenerate band —
+    boilerplate-heavy corpora — would otherwise trigger O(|band|²)
+    work in one task; skipped bands are logged, and at sf scales the
+    cap never fires so the SQL oracle needs no mirror)."""
+    out_cols = {"doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "dist": pd.Series(dtype=np.int64)}
+    if df.empty:
+        return pd.DataFrame(out_cols)
+    d = df.sort_values(["pfx", "doc_id"], kind="mergesort")
+    ids = d["doc_id"].to_numpy(np.int64)
+    p32 = d["p32"].to_numpy()
+    pfx = d["pfx"].to_numpy()
+    change = np.flatnonzero(pfx[1:] != pfx[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [len(pfx)])))
+    ia, ib = [], []
+    for n in np.unique(sizes):
+        if n < 2:
+            continue
+        if n > D.DEFAULT_MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "edit_pairs: skipping %d bands of size %d (> cap %d)",
+                int((sizes == n).sum()), int(n), D.DEFAULT_MAX_BUCKET)
+            continue
+        s = starts[sizes == n]
+        iu, ju = np.triu_indices(n, k=1)
+        ia.append((s[:, None] + iu).ravel())
+        ib.append((s[:, None] + ju).ravel())
+    if not ia:
+        return pd.DataFrame(out_cols)
+    ia = np.concatenate(ia)
+    ib = np.concatenate(ib)
+    dist = D.edit_distances_vectorized(p32[ia], p32[ib], EDIT_WIDTH)
+    keep = dist <= EDIT_MAX_DIST
+    return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                         "dist": dist[keep].astype(np.int64)})
+
+
+def q_edit_pairs(sf_dir: str) -> pa.Table:
+    """Edit-distance near-dup pairs: docs sharing an 8-char lowered
+    prefix band whose 32-char prefixes are within Levenshtein 8.
+    ONE hash repartition by band key co-locates each band; pair
+    explosion is band-local and hot-bucket-capped; the distance
+    kernel is the vectorized row DP (no per-cell Python).  The LSH
+    analog for EDIT similarity, where MinHash's set semantics don't
+    apply."""
+    import pyarrow.compute as apc
+    docs = _docs(sf_dir)
+
+    def _keys(t: pa.Table) -> pa.Table:
+        norm = apc.utf8_lower(apc.utf8_trim_whitespace(t.column("text")))
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "pfx": apc.utf8_slice_codeunits(norm, 0, EDIT_PREFIX),
+            "p32": apc.utf8_slice_codeunits(norm, 0, EDIT_WIDTH)})
+
+    nparts = shuffle_width(docs.count())
+    use_hash_shuffle(docs, nparts)
+    out = collect_df(docs.map_batches(_keys, batch_format="pyarrow")
+                     .repartition(num_blocks=nparts, keys=["pfx"])
+                     .map_batches(_edit_pairs_block, batch_format="pandas"))
+    if out.empty:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_edit_pairs": q_edit_pairs})
+EXTRA_ORACLE_SQL.update({"d_edit_pairs": f"""
+WITH d AS (SELECT doc_id,
+    substr(lower(trim(text)), 1, {EDIT_PREFIX}) AS pfx,
+    substr(lower(trim(text)), 1, {EDIT_WIDTH}) AS p32
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.p32, b.p32) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p32, b.p32) <= {EDIT_MAX_DIST}"""})

@@ -896,3 +896,39 @@ def connected_components_distributed(pairs, num_partitions: int | None
             "(pointer jumping makes this ~2^%d hops of reach) — "
             "returning the current labeling", max_iters, max_iters)
     return collect_df(labels)
+
+
+# ---- banded edit-distance near-dup -----------------------------------------
+
+def edit_distances_vectorized(strs_a: "np.ndarray", strs_b: "np.ndarray",
+                              width: int) -> "np.ndarray":
+    """Levenshtein distance for P string pairs at once, each clipped
+    to ``width`` chars.  Row DP vectorized ACROSS pairs; the
+    insertion recurrence's in-row dependency (dp[j-1]+1) is closed in
+    one vectorized pass via the running-minimum identity
+    dp[j] = j + cummin_k≤j(t[k] − k), so each of the ≤width row steps
+    is pure numpy — no per-cell Python.  O(width²) work per pair like
+    the classic DP, but the constant is a few numpy kernels."""
+    a = np.asarray(strs_a, dtype=f"U{width}")
+    b = np.asarray(strs_b, dtype=f"U{width}")
+    P = len(a)
+    if P == 0:
+        return np.empty(0, np.int32)
+    A = a.view(np.uint32).reshape(P, width)
+    B = b.view(np.uint32).reshape(P, width)
+    # NUL padding from the fixed-width view marks ends; true lengths:
+    la = (A != 0).sum(axis=1).astype(np.int32)
+    lb = (B != 0).sum(axis=1).astype(np.int32)
+    idx = np.arange(width + 1, dtype=np.int32)
+    dp = np.tile(idx, (P, 1))                     # DP row i=0
+    ans = np.where(la == 0, lb, 0).astype(np.int32)
+    for i in range(1, int(la.max()) + 1 if P else 1):
+        cost = (B != A[:, i - 1][:, None]).astype(np.int32)
+        t = np.empty((P, width + 1), np.int32)
+        t[:, 0] = i
+        t[:, 1:] = np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost)
+        dp = idx + np.minimum.accumulate(t - idx, axis=1)
+        done = la == i
+        if done.any():
+            ans[done] = dp[done, lb[done]]
+    return ans

@@ -1442,3 +1442,53 @@ def test_ntile_bucket_matches_duckdb(ducks):
         ).df().iloc[:, 0].to_numpy(np.int64)
         got = _ntile_bucket(np.arange(n, dtype=np.int64), n, 4)
         assert (got == want).all(), n
+
+
+def test_edit_distance_kernel_matches_duckdb(ducks):
+    """Vectorized row-DP Levenshtein == DuckDB levenshtein over fuzzed
+    pairs plus the degenerate shapes (empty/one-sided/equal)."""
+    from asserts_otel_processor_ray.stages.dedup import (
+        edit_distances_vectorized)
+    rng = np.random.RandomState(3)
+    alph = list("abcde ")
+    pairs = [("".join(rng.choice(alph, rng.randint(0, 20))),
+              "".join(rng.choice(alph, rng.randint(0, 20))))
+             for _ in range(200)]
+    pairs += [("", ""), ("abc", ""), ("", "xyz"), ("same", "same")]
+    got = edit_distances_vectorized(
+        np.array([p[0] for p in pairs]),
+        np.array([p[1] for p in pairs]), 32)
+    want = np.array([ducks.execute(
+        "SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+        for x, y in pairs])
+    assert (got == want).all()
+
+
+def test_user_mode_majority(ray_session, ducks):
+    """The mode count is the max per-user count and every user
+    appears exactly once."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_user_mode)
+    out = q_user_mode(SF).to_pandas()
+    assert out["user_id"].is_unique
+    want = ducks.sql(
+        "SELECT user_id, max(n) FROM (SELECT user_id, event_type, "
+        "count(*) AS n FROM events GROUP BY 1,2) GROUP BY 1").df()
+    want.columns = ["user_id", "max_n"]
+    m = out.merge(want, on="user_id")
+    assert (m["n"] == m["max_n"]).all()
+
+
+def test_cube_grand_total(ray_session, ducks):
+    """CUBE's four granularities are mutually consistent: each slice
+    sums to the grand total."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import q_cube
+    out = q_cube(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
+    grand = out[out["event_type"].isna() & out["weekday"].isna()]
+    assert len(grand) == 1 and grand["n_events"].iloc[0] == total
+    leaf = out[out["event_type"].notna() & out["weekday"].notna()]
+    assert leaf["n_events"].sum() == total
+    by_t = out[out["event_type"].notna() & out["weekday"].isna()]
+    by_w = out[out["event_type"].isna() & out["weekday"].notna()]
+    assert by_t["n_events"].sum() == total == by_w["n_events"].sum()
