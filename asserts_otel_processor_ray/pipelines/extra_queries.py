@@ -4479,3 +4479,201 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(levenshtein(a.p32, b.p32) AS BIGINT) AS dist
 FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p32, b.p32) <= {EDIT_MAX_DIST}"""})
+
+
+# ---- TPC-H-Q4-style priority count (EXISTS via max-reduction semi-join) --------
+
+Q4_LATE_DAYS = 60
+
+
+def _q4_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Block-local EXISTS: after the keyed exchange each order's row
+    and its lineitem max-shipdate partials are co-located, and
+    EXISTS(shipdate > orderdate + Δ) ≡ max(shipdate) > orderdate + Δ —
+    the max is an algebraic reduction, so the probe side shipped only
+    per-batch (orderkey, max) partials, never lineitem rows."""
+    if df.empty:
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                             "partial_n": pd.Series(dtype=np.int64)})
+    probe = df[df["side"] == 1].groupby("key", sort=False)["ship_us"].max()
+    build = df[df["side"] == 0]
+    ship = probe.reindex(build["key"]).to_numpy()
+    late = ship > (build["odate_us"].to_numpy(np.int64)
+                   + Q4_LATE_DAYS * _DAY_US)
+    g = build.loc[late].groupby("o_orderpriority", sort=False).size() \
+        .reset_index(name="partial_n")
+    g["partial_n"] = g["partial_n"].astype(np.int64)
+    return g
+
+
+def q_q4_priority(sf_dir: str) -> pa.Table:
+    """Late-order count per priority (the TPC-H Q4 shape adapted to
+    this schema): orders for which ANY lineitem shipped more than 60
+    days after the order date.  Tagged union of the build side
+    (orders: key, priority, orderdate) and an already-max-reduced
+    probe side (lineitem: per-batch (orderkey, max shipdate)) → ONE
+    hash repartition by orderkey → block-local EXISTS + priority
+    partial counts → tiny driver merge (priorities × blocks rows)."""
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def _build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "odate_us": t.column("o_orderdate").cast(pa.int64()),
+            "ship_us": pa.array(np.zeros(n, np.int64), pa.int64())})
+
+    def _probe(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "key": t.column("l_orderkey").to_numpy(),
+            "ship_us": t.column("l_shipdate").cast(pa.int64()).to_numpy(),
+        }).groupby("key", sort=False)["ship_us"].max().reset_index()
+        n = len(g)
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "o_orderpriority": pa.array([""] * n, pa.string()),
+            "odate_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "ship_us": pa.array(g["ship_us"].to_numpy(np.int64),
+                                pa.int64())})
+
+    tagged = ords.map_batches(_build, batch_format="pyarrow").union(
+        li.map_batches(_probe, batch_format="pyarrow"))
+    nparts = shuffle_width(ords.count() + li.count())
+    use_hash_shuffle(tagged, nparts)
+    parted = tagged.repartition(num_blocks=nparts, keys=["key"])
+    df = collect_df(parted.map_batches(_q4_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64())})
+    out = df.groupby("o_orderpriority", sort=True, as_index=False)[
+        "partial_n"].sum().rename(columns={"partial_n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"h_q4_priority": q_q4_priority})
+EXTRA_ORACLE_SQL.update({"h_q4_priority": f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY 1"""})
+
+
+# ---- embedding near-dup clusters ------------------------------------------------
+
+def q_embed_clusters(sf_dir: str) -> pa.Table:
+    """Connected components over the embedding-cosine near-dup graph
+    (the vector-side sibling of d_dedup_clusters): pairs from the
+    distributed banded-LSH path with exact cosine verify, then
+    driver union-find up to DEDUP_PAIR_BUDGET pairs and the
+    distributed hash-to-min label propagation beyond it.  Cluster id =
+    component-min vec_id; the oracle's recursive transitive closure
+    runs over the EXACT cross-join pair set, so the LSH path's
+    recall-1.0 property is byte-checked, not assumed."""
+    ds = _emb(sf_dir)
+    dim = len(ds.take(1)[0]["embedding"])
+    pairs = S.embedding_near_dup(ds, threshold=0.45, dim=dim)
+    if len(pairs) > DEDUP_PAIR_BUDGET:
+        pairs_ds = ray.data.from_pandas(
+            pairs.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"}))
+        cc = D.connected_components_distributed(pairs_ds) \
+            .sort_values("node", ignore_index=True)
+        return pa.table({
+            "vec_id": pa.array(cc["node"].to_numpy(np.int64), pa.int64()),
+            "cluster_id": pa.array(cc["label"].to_numpy(np.int64),
+                                   pa.int64())})
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["vec_a"]) | set(pairs["vec_b"]))
+    return pa.table({
+        "vec_id": pa.array(np.array(nodes, np.int64), pa.int64()),
+        "cluster_id": pa.array(
+            np.array([find(int(v)) for v in nodes], np.int64),
+            pa.int64())})
+
+
+EXTRA_QUERIES.update({"e_embed_clusters": q_embed_clusters})
+EXTRA_ORACLE_SQL.update({"e_embed_clusters": """
+WITH RECURSIVE np AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+und AS (SELECT vec_a AS a, vec_b AS b FROM np
+        UNION SELECT vec_b, vec_a FROM np),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT vec_id, cluster_id FROM comp"""})
+
+
+# ---- product-quantization codes -------------------------------------------------
+
+def q_pq_codes(sf_dir: str) -> pa.Table:
+    """Product-quantization encoding of the embedding corpus — the
+    memory-compression step an ANN index runs before scale-out (dim
+    floats → m small codes per vector).  Pure actor-pool map stage:
+    codebooks once per actor, one matmul per subspace per batch."""
+    out = _emb(sf_dir).map_batches(
+        S.PQCodesStage, fn_constructor_args=(_EMB_DIM,),
+        batch_format="pyarrow", concurrency=(1, 8))
+    df = collect_df(out)
+    if df.empty:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "subspace": pa.array([], pa.int64()),
+                         "code": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _pq_codes_sql(dim: int = _EMB_DIM, m: int = S.PQ_M,
+                  ksub: int = S.PQ_KSUB) -> str:
+    """SQL mirror of PQCodesStage: each (subspace, code) codebook row
+    is zero-padded to full dim and emitted as a DOUBLE[] literal, so a
+    sub-vector dot product is a full-vector dot product; code =
+    first-max list_position, the numpy argmax mirror."""
+    books = S.pq_centroids(dim, m, ksub)
+    sub = dim // m
+    selects = []
+    for s in range(m):
+        lits = []
+        for c in range(ksub):
+            full = np.zeros(dim)
+            full[s * sub:(s + 1) * sub] = books[s, c]
+            lits.append("[" + ", ".join(repr(float(x)) for x in full) + "]")
+        dots = ", ".join(
+            f"list_dot_product(e, CAST({lit} AS DOUBLE[]))" for lit in lits)
+        selects.append(f"""
+SELECT vec_id, CAST({s} AS BIGINT) AS subspace,
+  CAST(list_position(dl, list_aggregate(dl, 'max')) - 1 AS BIGINT)
+    AS code
+FROM (SELECT vec_id, [{dots}] AS dl
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings))""")
+    return " UNION ALL ".join(selects)
+
+
+EXTRA_QUERIES.update({"e_pq_codes": q_pq_codes})
+EXTRA_ORACLE_SQL.update({"e_pq_codes": _pq_codes_sql()})

@@ -910,3 +910,54 @@ def quantize_batch(batch: pa.Table) -> pa.Table:
         "qmin": pa.array(q.min(axis=1), pa.int64()),
         "qmax": pa.array(q.max(axis=1), pa.int64()),
     })
+
+
+# ---- product quantization ----------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_KSUB = 16      # codes per subspace
+PQ_SEED = 4242
+
+
+def pq_centroids(dim: int, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 seed: int = PQ_SEED) -> np.ndarray:
+    """Seeded per-subspace codebooks, shape (m, ksub, dim//m) — unit
+    rows like IVFIndex's seeded centroids.  The same function feeds
+    the Ray stage and the oracle's SQL literals; at scale the
+    codebooks are swapped for per-subspace ``kmeans_fit`` output
+    exactly as IVFIndex swaps in trained centroids."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return _normalize(
+        rng.standard_normal((m, ksub, dim // m)).reshape(m * ksub, -1)
+    ).reshape(m, ksub, dim // m)
+
+
+class PQCodesStage:
+    """Actor-pool stage: codebooks built once per actor in __init__;
+    per batch, each vector's m sub-vectors are assigned their
+    max-dot-product code (first-max tie-break == the oracle's
+    list_position) in one (rows, subdim) @ (subdim, ksub) matmul per
+    subspace — no per-row Python."""
+
+    def __init__(self, dim: int, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 seed: int = PQ_SEED):
+        self.dim, self.m = dim, m
+        self.sub = dim // m
+        self.books = pq_centroids(dim, m, ksub, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mtx = _matrix(batch).astype(np.float64)
+        ids = batch.column("vec_id").to_numpy()
+        n = len(ids)
+        codes = np.empty((n, self.m), np.int64)
+        for s in range(self.m):
+            seg = mtx[:, s * self.sub:(s + 1) * self.sub]
+            codes[:, s] = (seg @ self.books[s].T).argmax(axis=1)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), self.m),
+                               pa.int64()),
+            "subspace": pa.array(np.tile(np.arange(self.m, dtype=np.int64),
+                                         n), pa.int64()),
+            "code": pa.array(codes.ravel(), pa.int64())})

@@ -1492,3 +1492,44 @@ def test_cube_grand_total(ray_session, ducks):
     by_t = out[out["event_type"].notna() & out["weekday"].isna()]
     by_w = out[out["event_type"].isna() & out["weekday"].notna()]
     assert by_t["n_events"].sum() == total == by_w["n_events"].sum()
+
+
+def test_q4_exists_equals_max_reduction(ray_session, ducks):
+    """EXISTS(shipdate > orderdate+60d) == max-shipdate reduction:
+    totals agree with a direct DuckDB count."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_q4_priority)
+    out = q_q4_priority(SF).to_pandas()
+    want = ducks.sql(
+        "SELECT count(DISTINCT o_orderkey) FROM orders o JOIN lineitem l "
+        "ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY"
+    ).fetchone()[0]
+    assert out["n_orders"].sum() == want
+
+
+def test_embed_clusters_ids_are_members(ray_session):
+    """Every cluster id is the min vec_id of its own cluster and a
+    member of it (component-min labeling invariant)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_embed_clusters)
+    out = q_embed_clusters(SF).to_pandas()
+    assert len(out) > 0
+    m = out.groupby("cluster_id")["vec_id"].min()
+    assert (m.index.to_numpy() == m.to_numpy()).all()
+
+
+def test_pq_codes_shape_and_determinism(ray_session):
+    """Every vector gets exactly one in-range code per subspace, and
+    the encoding is deterministic across runs (seeded codebooks)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_pq_codes)
+    from asserts_otel_processor_ray.stages.similarity import PQ_KSUB, PQ_M
+    a = q_pq_codes(SF).to_pandas().sort_values(
+        ["vec_id", "subspace"], ignore_index=True)
+    assert a["code"].between(0, PQ_KSUB - 1).all()
+    per_vec = a.groupby("vec_id").size()
+    assert (per_vec == PQ_M).all()
+    b = q_pq_codes(SF).to_pandas().sort_values(
+        ["vec_id", "subspace"], ignore_index=True)
+    assert a.equals(b)
