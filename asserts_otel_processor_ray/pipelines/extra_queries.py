@@ -4677,3 +4677,135 @@ FROM (SELECT vec_id, [{dots}] AS dl
 
 EXTRA_QUERIES.update({"e_pq_codes": q_pq_codes})
 EXTRA_ORACLE_SQL.update({"e_pq_codes": _pq_codes_sql()})
+
+
+# ---- language-ID confusion matrix -----------------------------------------------
+
+def q_lang_confusion(sf_dir: str) -> pa.Table:
+    """Quality evaluation of the language-ID heuristic: confusion
+    matrix of (labelled lang, predicted lang).  One map pass — the
+    langid scores never leave the batch, only per-batch (lang, pred)
+    partial counts do — and a tiny driver merge (|langs|² rows)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pred = T.langid_batch(t).column("pred_lang").to_numpy()
+        g = pd.DataFrame({"lang": t.column("lang").to_numpy(),
+                          "pred_lang": pred}) \
+            .groupby(["lang", "pred_lang"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(ds.map_batches(_partial, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "pred_lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    out = df.groupby(["lang", "pred_lang"], sort=True, as_index=False)[
+        "c"].sum().rename(columns={"c": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _lang_confusion_sql() -> str:
+    """Confusion-matrix mirror sharing _langid_sql's scoring pieces
+    (same marker lists, same first-max-in-LANG_ORDER tie-break)."""
+    score_cols = []
+    for lang in T.LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(t, x -> x IN ({markers}))) AS score_{lang}")
+    branches = []
+    for lang in T.LANG_ORDER:
+        others = [o for o in T.LANG_ORDER if o != lang]
+        cond = " AND ".join(f"score_{lang} >= score_{o}" for o in others)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    greatest = ", ".join(f"score_{o}" for o in T.LANG_ORDER)
+    pred = (f"CASE WHEN greatest({greatest}) = 0 THEN 'und' "
+            + " ".join(branches) + " END")
+    return f"""
+WITH toks AS (
+  SELECT lang,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+scored AS (
+  SELECT lang, {", ".join(score_cols)} FROM toks)
+SELECT lang, {pred} AS pred_lang, count(*) AS n_docs
+FROM scored GROUP BY 1, 2"""
+
+
+EXTRA_QUERIES.update({"d_lang_confusion": q_lang_confusion})
+EXTRA_ORACLE_SQL.update({"d_lang_confusion": _lang_confusion_sql()})
+
+
+# ---- last-touch attribution ------------------------------------------------------
+
+def _attribution_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user last-touch scan: after the keyed exchange each user's
+    events are block-local; one sort + a running last-non-purchase
+    index (maximum.accumulate) attributes every purchase — no
+    per-event Python, no self-join."""
+    if df.empty:
+        return pd.DataFrame({"purchase_id": pd.Series(dtype=np.int64),
+                             "touch_id": pd.Series(dtype=np.int64),
+                             "touch_type": pd.Series(dtype=object)})
+    d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ids = d["event_id"].to_numpy(np.int64)
+    et = d["event_type"].to_numpy()
+    is_p = et == "purchase"
+    pos = np.arange(len(d))
+    # last non-purchase position at-or-before each row, per user
+    # (groupby cummax resets at user boundaries); the global shift
+    # then leaks each user's final value into the next user's first
+    # row, which ubreak masks back to "no prior touch"
+    cand = np.where(~is_p, pos, -1)
+    ubreak = np.concatenate(
+        ([True], d["user_id"].to_numpy()[1:] != d["user_id"].to_numpy()[:-1]))
+    last = pd.Series(cand).groupby(d["user_id"].to_numpy()).cummax() \
+        .to_numpy()
+    prior = np.concatenate(([-1], last[:-1]))
+    prior[ubreak] = -1
+    take = is_p & (prior >= 0)
+    return pd.DataFrame({
+        "purchase_id": ids[take],
+        "touch_id": ids[prior[take]],
+        "touch_type": et[prior[take]]})
+
+
+def q_attribution(sf_dir: str) -> pa.Table:
+    """Last-touch attribution: for every purchase, the user's most
+    recent strictly-earlier non-purchase event.  ONE hash repartition
+    by user_id, then a block-local sorted scan (the self-join-free
+    attribution shape — the oracle's row_number-over-join is the
+    semantics, not the plan)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = shuffle_width(ev.count())
+    use_hash_shuffle(ev, nparts)
+    out = collect_df(ev.repartition(num_blocks=nparts, keys=["user_id"])
+                     .map_batches(_attribution_block,
+                                  batch_format="pandas"))
+    if out.empty:
+        return pa.table({"purchase_id": pa.array([], pa.int64()),
+                         "touch_id": pa.array([], pa.int64()),
+                         "touch_type": pa.array([], pa.string())})
+    out["purchase_id"] = out["purchase_id"].astype(np.int64)
+    out["touch_id"] = out["touch_id"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_attribution": q_attribution})
+EXTRA_ORACLE_SQL.update({"g_attribution": """
+WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT p.event_id AS purchase_id, x.event_id AS touch_id,
+        x.event_type AS touch_type,
+        row_number() OVER (PARTITION BY p.event_id
+          ORDER BY x.ts DESC, x.event_id DESC) AS rn
+      FROM p JOIN events x ON x.user_id = p.user_id
+        AND (x.ts < p.ts OR (x.ts = p.ts AND x.event_id < p.event_id))
+        AND x.event_type <> 'purchase')
+SELECT purchase_id, touch_id, touch_type FROM c WHERE rn = 1"""})

@@ -1533,3 +1533,35 @@ def test_pq_codes_shape_and_determinism(ray_session):
     b = q_pq_codes(SF).to_pandas().sort_values(
         ["vec_id", "subspace"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_lang_confusion_diagonal_dominant(ray_session, ducks):
+    """Totals match the corpus and the matrix row sums equal per-lang
+    doc counts."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_lang_confusion)
+    out = q_lang_confusion(SF).to_pandas()
+    want = ducks.sql(
+        "SELECT lang, count(*) FROM documents GROUP BY 1").df()
+    want.columns = ["lang", "n"]
+    rows = out.groupby("lang")["n_docs"].sum().reset_index()
+    m = rows.merge(want, on="lang", how="outer")
+    assert (m["n_docs"] == m["n"]).all()
+
+
+def test_attribution_touch_precedes_purchase(ray_session, ducks):
+    """Every attributed touch strictly precedes its purchase in
+    (ts, event_id) order and is never itself a purchase."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_attribution)
+    out = q_attribution(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["touch_type"] != "purchase").all()
+    ev = ducks.sql(
+        "SELECT event_id, epoch_us(ts) AS us FROM events").df() \
+        .set_index("event_id")["us"]
+    pu = ev.reindex(out["purchase_id"]).to_numpy()
+    tu = ev.reindex(out["touch_id"]).to_numpy()
+    assert ((tu < pu) | ((tu == pu)
+            & (out["touch_id"].to_numpy()
+               < out["purchase_id"].to_numpy()))).all()
