@@ -4809,3 +4809,167 @@ c AS (SELECT p.event_id AS purchase_id, x.event_id AS touch_id,
         AND (x.ts < p.ts OR (x.ts = p.ts AND x.event_id < p.event_id))
         AND x.event_type <> 'purchase')
 SELECT purchase_id, touch_id, touch_type FROM c WHERE rn = 1"""})
+
+
+# ---- event-type transition matrix (Markov counts) -------------------------------
+
+def _transitions_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user adjacent-event transitions for one hash partition:
+    sort by (user, ts, event_id), shift by one, mask user boundaries —
+    the LAG window as a vectorized scan."""
+    if df.empty:
+        return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                             "to_type": pd.Series(dtype=object),
+                             "partial_n": pd.Series(dtype=np.int64)})
+    d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    et = d["event_type"].to_numpy()
+    u = d["user_id"].to_numpy()
+    same = np.concatenate(([False], u[1:] == u[:-1]))
+    g = pd.DataFrame({"from_type": np.concatenate(([""], et[:-1])),
+                      "to_type": et})[same]
+    g = g.groupby(["from_type", "to_type"], sort=False).size() \
+        .reset_index(name="partial_n")
+    g["partial_n"] = g["partial_n"].astype(np.int64)
+    return g
+
+
+def q_transitions(sf_dir: str) -> pa.Table:
+    """Event-type transition matrix (the Markov-chain counts a
+    session-model or anomaly detector trains on): ONE hash repartition
+    by user_id, a block-local lag scan, then a tiny driver merge
+    (|types|² × blocks rows)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = shuffle_width(ev.count())
+    use_hash_shuffle(ev, nparts)
+    df = collect_df(ev.repartition(num_blocks=nparts, keys=["user_id"])
+                    .map_batches(_transitions_block,
+                                 batch_format="pandas"))
+    if df.empty:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    out = df.groupby(["from_type", "to_type"], sort=True,
+                     as_index=False)["partial_n"].sum() \
+        .rename(columns={"partial_n": "n"})
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_transitions": q_transitions})
+EXTRA_ORACLE_SQL.update({"g_transitions": """
+WITH e AS (SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+FROM e WHERE prev IS NOT NULL GROUP BY 1, 2"""})
+
+
+# ---- token bigram top-50 ---------------------------------------------------------
+
+BIGRAM_TOPK = 50
+
+
+def q_bigrams(sf_dir: str) -> pa.Table:
+    """Top-50 adjacent token bigrams over the corpus (the phrase-table
+    / collocation scan): per-batch bigram partial counts (doc-local
+    adjacency, so zero exchange to build them) → ONE distributed
+    groupby-sum → exact two-phase top-K under (n desc, bigram)."""
+    from ray.data.aggregate import Sum
+    docs = _docs(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = T._tokens_series(t.column("text"))
+        ex = toks.explode()
+        w = ex.to_numpy()
+        rows = ex.index.to_numpy()
+        same = rows[1:] == rows[:-1]
+        big = np.char.add(np.char.add(w[:-1][same].astype("U"), " "),
+                          w[1:][same].astype("U"))
+        u, c = np.unique(big, return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()),
+                         "partial_n": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    agg = docs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("partial_n"))
+    agg = agg.map_batches(
+        lambda t: (t.rename_columns(["bigram", "n"])
+                   if t.num_columns == 2 else t),
+        batch_format="pyarrow")
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(BIGRAM_TOPK)
+
+    out = _topk(collect_df(agg.map_batches(_topk, batch_format="pandas")))
+    if out.empty:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    out = out.reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_bigrams": q_bigrams})
+EXTRA_ORACLE_SQL.update({"d_bigrams": f"""
+WITH tok AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+z AS (SELECT unnest(list_zip(t, t[2:])) AS p FROM tok),
+b AS (SELECT p[1] || ' ' || p[2] AS bigram FROM z
+      WHERE p[2] IS NOT NULL)
+SELECT bigram, count(*) AS n FROM b
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}"""})
+
+
+# ---- order-size distribution -----------------------------------------------------
+
+def q_order_sizes(sf_dir: str) -> pa.Table:
+    """Distribution of lineitem counts per order — the group-size
+    histogram that sizes a skew/salting decision: per-batch (order,
+    count) partials → ONE keyed exchange + block reduce → per-block
+    size-histogram partials → driver merge (|sizes| × blocks rows)."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+
+    def _cnt_partial(t: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"l_orderkey": pa.array(k, pa.int64()),
+                         "partial_c": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    def _size_hist_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_lines": pd.Series(dtype=np.int64),
+                                 "partial_n": pd.Series(dtype=np.int64)})
+        sizes = df.groupby("l_orderkey", sort=False)["partial_c"].sum()
+        v, c = np.unique(sizes.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"n_lines": v,
+                             "partial_n": c.astype(np.int64)})
+
+    nparts = shuffle_width(li.count())
+    use_hash_shuffle(li, nparts)
+    df = collect_df(li.map_batches(_cnt_partial, batch_format="pyarrow")
+                    .repartition(num_blocks=nparts, keys=["l_orderkey"])
+                    .map_batches(_size_hist_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"n_lines": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
+    out = df.groupby("n_lines", sort=True, as_index=False)["partial_n"] \
+        .sum().rename(columns={"partial_n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"h_order_sizes": q_order_sizes})
+EXTRA_ORACLE_SQL.update({"h_order_sizes": """
+WITH c AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+           GROUP BY 1)
+SELECT n_lines, count(*) AS n_orders FROM c GROUP BY 1"""})

@@ -1565,3 +1565,43 @@ def test_attribution_touch_precedes_purchase(ray_session, ducks):
     assert ((tu < pu) | ((tu == pu)
             & (out["touch_id"].to_numpy()
                < out["purchase_id"].to_numpy()))).all()
+
+
+def test_transitions_conserve_events(ray_session, ducks):
+    """Σ transition counts == total events − distinct users (each
+    user's first event has no predecessor)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_transitions)
+    out = q_transitions(SF).to_pandas()
+    tot, users = ducks.sql(
+        "SELECT count(*), count(DISTINCT user_id) FROM events").fetchone()
+    assert out["n"].sum() == tot - users
+
+
+def test_bigrams_partial_adjacency():
+    """The per-batch bigram partial never crosses document
+    boundaries."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_bigrams)  # noqa: F401 — import exercises registration
+    import pyarrow as pa_
+    from asserts_otel_processor_ray.stages import text_analysis as T_
+    t = pa_.table({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    toks = T_._tokens_series(t.column("text"))
+    ex = toks.explode()
+    rows = ex.index.to_numpy()
+    w = ex.to_numpy()
+    same = rows[1:] == rows[:-1]
+    big = [f"{x} {y}" for x, y, s in zip(w[:-1], w[1:], same) if s]
+    assert big == ["a b", "c d"]
+
+
+def test_order_sizes_totals(ray_session, ducks):
+    """Σ n_lines·n_orders == lineitem rows; Σ n_orders == orders with
+    lines."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_order_sizes)
+    out = q_order_sizes(SF).to_pandas()
+    nl, no = ducks.sql("SELECT count(*), count(DISTINCT l_orderkey) "
+                       "FROM lineitem").fetchone()
+    assert (out["n_lines"] * out["n_orders"]).sum() == nl
+    assert out["n_orders"].sum() == no
