@@ -4973,3 +4973,139 @@ EXTRA_ORACLE_SQL.update({"h_order_sizes": """
 WITH c AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
            GROUP BY 1)
 SELECT n_lines, count(*) AS n_orders FROM c GROUP BY 1"""})
+
+
+# ---- DAU / trailing-WAU stickiness -----------------------------------------------
+
+def _stickiness_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user day sets are block-local after the keyed exchange, so
+    BOTH the daily dedupe and the 7-day trailing-window expansion
+    (each active day marks itself + the 6 following window-end days)
+    complete without a second exchange; the block emits (day,
+    partial_dau, partial_wau) pairs."""
+    if df.empty:
+        return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                             "partial_dau": pd.Series(dtype=np.int64),
+                             "partial_wau": pd.Series(dtype=np.int64)})
+    ud = df.drop_duplicates()
+    u = ud["user_id"].to_numpy(np.int64)
+    d = ud["day"].to_numpy(np.int64)
+    dv, dc = np.unique(d, return_counts=True)
+    dau = pd.DataFrame({"day": dv, "partial_dau": dc.astype(np.int64)})
+    w = pd.DataFrame({
+        "user_id": np.repeat(u, 7),
+        "day": (d[:, None] + np.arange(7)).ravel()}).drop_duplicates()
+    wv, wc = np.unique(w["day"].to_numpy(np.int64), return_counts=True)
+    wau = pd.DataFrame({"day": wv, "partial_wau": wc.astype(np.int64)})
+    out = dau.merge(wau, on="day", how="outer").fillna(0)
+    out["partial_dau"] = out["partial_dau"].astype(np.int64)
+    out["partial_wau"] = out["partial_wau"].astype(np.int64)
+    return out
+
+
+def q_stickiness(sf_dir: str) -> pa.Table:
+    """DAU / trailing-7-day-WAU stickiness per day — the engagement
+    ratio a growth dashboard plots: per-batch (user, day) dedupe
+    partials → ONE hash repartition by user_id → block-local dedupe +
+    window expansion → tiny driver merge (days × blocks rows).  Days
+    are epoch-aligned integer buckets; the ratio is one mirrored IEEE
+    division.  Only days with activity are reported (wau is defined on
+    them by construction)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def _ud_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        g = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                          "day": ts // _DAY_US}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    nparts = shuffle_width(ev.count())
+    use_hash_shuffle(ev, nparts)
+    df = collect_df(ev.map_batches(_ud_partial, batch_format="pyarrow")
+                    .repartition(num_blocks=nparts, keys=["user_id"])
+                    .map_batches(_stickiness_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "dau": pa.array([], pa.int64()),
+                         "wau": pa.array([], pa.int64()),
+                         "stickiness": pa.array([], pa.float64())})
+    m = df.groupby("day", sort=True, as_index=False).sum()
+    m = m[m["partial_dau"] > 0]          # report only active days
+    dau = m["partial_dau"].to_numpy(np.int64)
+    wau = m["partial_wau"].to_numpy(np.int64)
+    return pa.table({
+        "day": pa.array(m["day"].to_numpy(np.int64), pa.int64()),
+        "dau": pa.array(dau, pa.int64()),
+        "wau": pa.array(wau, pa.int64()),
+        "stickiness": pa.array(dau.astype(np.float64)
+                               / wau.astype(np.float64), pa.float64())})
+
+
+EXTRA_QUERIES.update({"g_stickiness": q_stickiness})
+EXTRA_ORACLE_SQL.update({"g_stickiness": """
+WITH ud AS (SELECT DISTINCT user_id,
+    epoch_us(ts) // 86400000000 AS day FROM events),
+w AS (SELECT DISTINCT user_id, day + o AS day
+      FROM ud, generate_series(0, 6) AS g(o)),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+SELECT dau.day, dau.dau, wau.wau,
+  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day"""})
+
+
+# ---- session-size distribution ---------------------------------------------------
+
+def q_session_sizes(sf_dir: str) -> pa.Table:
+    """Histogram of session lengths (events per 30-min-gap session):
+    rides the sessionize exchange — per-block session sizes reduce to
+    size-histogram partials, so the driver merge holds |sizes| ×
+    blocks rows, never O(sessions)."""
+    ds = _events(sf_dir)
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
+    sess = parted.map_batches(E.sessionize_batch, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_events": pa.array([], pa.int64()),
+                             "partial_n": pa.array([], pa.int64())})
+        v, c = np.unique(
+            t.column("n_events").to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"n_events": pa.array(v, pa.int64()),
+                         "partial_n": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    df = collect_df(sess.map_batches(_hist_partial,
+                                     batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"n_events": pa.array([], pa.int64()),
+                         "n_sessions": pa.array([], pa.int64())})
+    out = df.groupby("n_events", sort=True, as_index=False)["partial_n"] \
+        .sum().rename(columns={"partial_n": "n_sessions"})
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_session_sizes": q_session_sizes})
+EXTRA_ORACLE_SQL.update({"g_session_sizes": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL
+    OR epoch_us(ts) - epoch_us(pts) > 1800000000
+    THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+s AS (SELECT user_id, sid, count(*) AS n_events FROM g
+      GROUP BY user_id, sid)
+SELECT n_events, count(*) AS n_sessions FROM s GROUP BY 1"""})

@@ -1605,3 +1605,28 @@ def test_order_sizes_totals(ray_session, ducks):
                        "FROM lineitem").fetchone()
     assert (out["n_lines"] * out["n_orders"]).sum() == nl
     assert out["n_orders"].sum() == no
+
+
+def test_stickiness_bounds_and_day1(ray_session, ducks):
+    """dau <= wau (window contains the day), stickiness in (0, 1],
+    and Σ over isolated single-day users stays consistent with the
+    distinct-user total."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_stickiness)
+    out = q_stickiness(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["dau"] <= out["wau"]).all()
+    assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1.0)).all()
+    want_days = ducks.sql(
+        "SELECT count(DISTINCT epoch_us(ts) // 86400000000) FROM events"
+    ).fetchone()[0]
+    assert len(out) == want_days
+
+
+def test_session_sizes_totals(ray_session, ducks):
+    """Σ n_events·n_sessions == total events."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_session_sizes)
+    out = q_session_sizes(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert (out["n_events"] * out["n_sessions"]).sum() == total
