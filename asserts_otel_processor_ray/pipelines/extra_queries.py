@@ -5109,3 +5109,183 @@ g AS (
 s AS (SELECT user_id, sid, count(*) AS n_events FROM g
       GROUP BY user_id, sid)
 SELECT n_events, count(*) AS n_sessions FROM s GROUP BY 1"""})
+
+
+# ---- top customers by order count (broadcast dim attach + exact top-K) -----------
+
+TOPCUST_K = 20
+
+
+def q_top_customers(sf_dir: str) -> pa.Table:
+    """Top-20 customers by order count with their names attached: the
+    fact side reduces FIRST (per-batch custkey partials → ONE keyed
+    exchange + block reduce + per-block top-K → bounded driver final),
+    and the customer dimension is probed only for the 20 winners via
+    a parquet read of two columns — the attach-after-reduce shape that
+    never joins the dimension against the fact stream."""
+    ords = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+
+    def _cnt_partial(t: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"c_custkey": pa.array(k, pa.int64()),
+                         "partial_c": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    def _reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "n_orders": pd.Series(dtype=np.int64)})
+        g = df.groupby("c_custkey", sort=False)["partial_c"].sum() \
+            .reset_index(name="n_orders")
+        return g.sort_values(["n_orders", "c_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(TOPCUST_K)
+
+    nparts = shuffle_width(ords.count())
+    use_hash_shuffle(ords, nparts)
+    blocks = collect_df(
+        ords.map_batches(_cnt_partial, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=["c_custkey"])
+        .map_batches(_reduce_topk, batch_format="pandas"))
+    # keys are partition-disjoint, so the global top-K is the top-K of
+    # the per-block top-Ks — no re-sum needed
+    top = (blocks.sort_values(["n_orders", "c_custkey"],
+                              ascending=[False, True], kind="mergesort")
+           .head(TOPCUST_K) if not blocks.empty else blocks)
+    if top.empty:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64())})
+    names = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"]).to_pandas()
+    out = top.merge(names, on="c_custkey", how="left")
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out[["c_custkey", "c_name", "n_orders"]],
+                                preserve_index=False)
+
+
+EXTRA_QUERIES.update({"h_top_customers": q_top_customers})
+EXTRA_ORACLE_SQL.update({"h_top_customers": f"""
+WITH c AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+           FROM orders GROUP BY 1)
+SELECT c.c_custkey, cu.c_name, c.n_orders
+FROM c JOIN customer cu USING (c_custkey)
+ORDER BY n_orders DESC, c_custkey LIMIT {TOPCUST_K}"""})
+
+
+# ---- document-length deciles -------------------------------------------------------
+
+def q_len_deciles(sf_dir: str) -> pa.Table:
+    """Exact corpus length deciles (the curation cut points): the
+    value-count-histogram reduction over n_chars — per-batch (value,
+    count) partials, ONE distributed groupby-sum, and a driver order
+    statistic at rank ceil(p·n/10) (1-based, integer arithmetic, the
+    q_quantiles convention) — no global sort, no full column pull."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+
+    def _vc_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"n_chars": pa.array(v, pa.int64()),
+                         "partial_n": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    agg = ds.map_batches(_vc_partial, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("partial_n"))
+    df = _named(collect_df(agg), ["n_chars", "n"])
+    if df.empty:
+        return pa.table({"decile": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    df = df.sort_values("n_chars", ignore_index=True)
+    vals = df["n_chars"].to_numpy(np.int64)
+    cum = df["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    deciles = np.arange(1, 10, dtype=np.int64)
+    ranks = -(-deciles * n // 10)        # ceil(p·n/10), 1-based
+    pos = np.searchsorted(cum, ranks, side="left")
+    return pa.table({"decile": pa.array(deciles, pa.int64()),
+                     "n_chars": pa.array(vals[pos], pa.int64())})
+
+
+EXTRA_QUERIES.update({"d_len_deciles": q_len_deciles})
+EXTRA_ORACLE_SQL.update({"d_len_deciles": """
+WITH s AS (SELECT n_chars,
+    row_number() OVER (ORDER BY n_chars) AS rk,
+    count(*) OVER () AS n
+  FROM documents)
+SELECT d AS decile, n_chars
+FROM generate_series(1, 9) AS g(d) JOIN s
+  ON s.rk = CAST(ceil(d * s.n / 10.0) AS BIGINT)"""})
+
+
+# ---- embedding-norm histogram -------------------------------------------------------
+
+NORM_NBINS = 10
+
+
+def q_norm_histogram(sf_dir: str) -> pa.Table:
+    """Distribution of squared embedding L2 norms — the scan that
+    decides whether a corpus needs renormalizing before cosine ANN.
+    Two passes like g_value_histogram: distributed min/max of
+    list_dot_product(e, e) (order-independent), then mirrored affine
+    binning partials.  The squared norm (one dot product) keeps the
+    float expression identical on both sides — no sqrt to diverge."""
+    ds = _emb(sf_dir)
+
+    def _sq(t: pa.Table) -> np.ndarray:
+        m = S._matrix(t).astype(np.float64)
+        # row-wise dot in C order == DuckDB list_dot_product's
+        # sequential element sum (same shape as the e_pq_codes oracle)
+        return np.einsum("ij,ij->i", m, m)
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        v = _sq(t)
+        return pa.table({"vmin": pa.array([v.min()], pa.float64()),
+                         "vmax": pa.array([v.max()], pa.float64())})
+
+    mm = collect_df(ds.map_batches(_minmax, batch_format="pyarrow"))
+    if mm.empty:
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "n_vectors": pa.array([], pa.int64())})
+    vmin, vmax = float(mm["vmin"].min()), float(mm["vmax"].max())
+    span = vmax - vmin
+
+    def _bin_partial(t: pa.Table) -> pa.Table:
+        v = _sq(t)
+        if span > 0:
+            b = np.minimum(np.floor((v - vmin) * float(NORM_NBINS) / span),
+                           NORM_NBINS - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "partial_n": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    df = collect_df(ds.map_batches(_bin_partial, batch_format="pyarrow"))
+    out = df.groupby("bin", sort=True, as_index=False)["partial_n"].sum() \
+        .rename(columns={"partial_n": "n_vectors"})
+    out["n_vectors"] = out["n_vectors"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"e_norm_histogram": q_norm_histogram})
+EXTRA_ORACLE_SQL.update({"e_norm_histogram": f"""
+WITH v AS (SELECT list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) AS sq
+           FROM embeddings),
+mm AS (SELECT min(sq) AS vmin, max(sq) AS vmax FROM v)
+SELECT CASE WHEN mm.vmax > mm.vmin THEN least(CAST(floor(
+    (sq - mm.vmin) * {NORM_NBINS}.0 / (mm.vmax - mm.vmin))
+    AS BIGINT), {NORM_NBINS - 1}) ELSE 0 END AS bin,
+  count(*) AS n_vectors
+FROM v, mm GROUP BY 1"""})

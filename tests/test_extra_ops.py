@@ -1630,3 +1630,37 @@ def test_session_sizes_totals(ray_session, ducks):
     out = q_session_sizes(SF).to_pandas()
     total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
     assert (out["n_events"] * out["n_sessions"]).sum() == total
+
+
+def test_top_customers_exact(ray_session, ducks):
+    """Two-phase top-K over partition-disjoint keys == global top-K."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        TOPCUST_K, q_top_customers)
+    out = q_top_customers(SF).to_pandas()
+    want = ducks.sql(
+        f"SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 "
+        f"ORDER BY n DESC, o_custkey LIMIT {TOPCUST_K}").df()
+    assert out["c_custkey"].tolist() == want["o_custkey"].tolist()
+    assert out["n_orders"].tolist() == want["n"].tolist()
+
+
+def test_len_deciles_monotone(ray_session, ducks):
+    """Nine cut points, nondecreasing, each an existing n_chars
+    value."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_len_deciles)
+    out = q_len_deciles(SF).to_pandas()
+    assert len(out) == 9
+    assert (np.diff(out["n_chars"].to_numpy()) >= 0).all()
+    vals = set(ducks.sql(
+        "SELECT DISTINCT n_chars FROM documents").df()["n_chars"])
+    assert set(out["n_chars"]) <= vals
+
+
+def test_norm_histogram_totals(ray_session, ducks):
+    """Binning loses no vectors."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_norm_histogram)
+    out = q_norm_histogram(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert out["n_vectors"].sum() == total
