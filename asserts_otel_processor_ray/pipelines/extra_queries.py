@@ -5289,3 +5289,213 @@ SELECT CASE WHEN mm.vmax > mm.vmin THEN least(CAST(floor(
     AS BIGINT), {NORM_NBINS - 1}) ELSE 0 END AS bin,
   count(*) AS n_vectors
 FROM v, mm GROUP BY 1"""})
+
+
+# ---- per-source exact-duplicate rate ------------------------------------------------
+
+def q_dup_rate(sf_dir: str) -> pa.Table:
+    """Exact-duplicate rate per source (the corpus-QA split of
+    d_exact_dedup): per-batch (source, text_norm) dedupe partials →
+    ONE keyed exchange on text_norm+source → block distinct count per
+    source → tiny driver merge.  Rate = 1 − distinct/docs as one
+    mirrored division; doc totals ride the same partials."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as apc
+        norm = apc.utf8_trim_whitespace(
+            apc.replace_substring_regex(
+                apc.utf8_lower(t.column("text")), r"\s+", " "))
+        g = pd.DataFrame({"source": t.column("source").to_numpy(),
+                          "text_norm": norm.to_numpy(zero_copy_only=False)})
+        g["partial_docs"] = np.int64(1)
+        g = g.groupby(["source", "text_norm"], sort=False,
+                      as_index=False)["partial_docs"].sum()
+        g["partial_docs"] = g["partial_docs"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "partial_docs": pd.Series(dtype=np.int64),
+                "partial_distinct": pd.Series(dtype=np.int64)})
+        g = df.groupby(["source", "text_norm"], sort=False,
+                       as_index=False)["partial_docs"].sum()
+        out = g.groupby("source", sort=False).agg(
+            partial_docs=("partial_docs", "sum"),
+            partial_distinct=("text_norm", "size")).reset_index()
+        out["partial_docs"] = out["partial_docs"].astype(np.int64)
+        out["partial_distinct"] = out["partial_distinct"].astype(np.int64)
+        return out
+
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    df = collect_df(ds.map_batches(_partial, batch_format="pyarrow")
+                    .repartition(num_blocks=nparts, keys=["text_norm"])
+                    .map_batches(_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64()),
+                         "dup_rate": pa.array([], pa.float64())})
+    m = df.groupby("source", sort=True, as_index=False).sum()
+    nd = m["partial_docs"].to_numpy(np.int64)
+    nu = m["partial_distinct"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(m["source"].tolist(), pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_distinct": pa.array(nu, pa.int64()),
+        "dup_rate": pa.array(1.0 - nu.astype(np.float64)
+                             / nd.astype(np.float64), pa.float64())})
+
+
+EXTRA_QUERIES.update({"d_dup_rate": q_dup_rate})
+EXTRA_ORACLE_SQL.update({"d_dup_rate": """
+WITH n AS (SELECT source,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+  FROM documents),
+s AS (SELECT source, count(*) AS n_docs,
+        count(DISTINCT text_norm) AS n_distinct
+      FROM n GROUP BY 1)
+SELECT source, n_docs, n_distinct,
+  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+FROM s"""})
+
+
+# ---- customer order-count distribution (TPC-H Q13 shape) ---------------------------
+
+def q_custdist(sf_dir: str) -> pa.Table:
+    """Distribution of customers by order count INCLUDING the
+    zero-order cohort (the left-join subtlety that makes TPC-H Q13
+    famous): per-customer counts via ONE keyed exchange + block
+    reduce, per-block count-histogram partials, and the zero bucket
+    closed in O(1) from the customer total minus the customers seen —
+    no left join materialized anywhere."""
+    ords = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+    n_cust = int(pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows)
+
+    def _cnt_partial(t: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "partial_c": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    def _hist_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_count": pd.Series(dtype=np.int64),
+                                 "partial_n": pd.Series(dtype=np.int64)})
+        sizes = df.groupby("k", sort=False)["partial_c"].sum()
+        v, c = np.unique(sizes.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"c_count": v, "partial_n": c.astype(np.int64)})
+
+    nparts = shuffle_width(ords.count())
+    use_hash_shuffle(ords, nparts)
+    df = collect_df(ords.map_batches(_cnt_partial, batch_format="pyarrow")
+                    .repartition(num_blocks=nparts, keys=["k"])
+                    .map_batches(_hist_block, batch_format="pandas"))
+    m = (df.groupby("c_count", sort=False, as_index=False)["partial_n"]
+         .sum() if not df.empty
+         else pd.DataFrame({"c_count": [], "partial_n": []}))
+    zero = n_cust - int(m["partial_n"].sum()) if len(m) else n_cust
+    if zero > 0:
+        m = pd.concat([m, pd.DataFrame({"c_count": [0],
+                                        "partial_n": [zero]})],
+                      ignore_index=True)
+    m = m.sort_values("c_count", ignore_index=True)
+    return pa.table({
+        "c_count": pa.array(m["c_count"].to_numpy(np.int64), pa.int64()),
+        "custdist": pa.array(m["partial_n"].to_numpy(np.int64),
+                             pa.int64())})
+
+
+EXTRA_QUERIES.update({"h_custdist": q_custdist})
+EXTRA_ORACLE_SQL.update({"h_custdist": """
+WITH c AS (SELECT cu.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer cu LEFT JOIN orders o
+             ON cu.c_custkey = o.o_custkey
+           GROUP BY 1)
+SELECT c_count, count(*) AS custdist FROM c GROUP BY 1"""})
+
+
+# ---- winsorized per-source length stats ---------------------------------------------
+
+def q_winsorize(sf_dir: str) -> pa.Table:
+    """Winsorized (p5/p95-clipped) document-length statistics per
+    source — the outlier-robust curation summary: global exact p5/p95
+    cut values from the n_chars count-histogram (rank ceil(p·n/100),
+    the repo's quantile convention), then per-batch clipped integer
+    sums — exact, with ONE mirrored division for the mean."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+
+    def _vc_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64), return_counts=True)
+        return pa.table({"n_chars": pa.array(v, pa.int64()),
+                         "partial_n": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    agg = ds.map_batches(_vc_partial, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("partial_n"))
+    hist = _named(collect_df(agg), ["n_chars", "n"])
+    if hist.empty:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "sum_clipped": pa.array([], pa.int64()),
+                         "mean_clipped": pa.array([], pa.float64())})
+    hist = hist.sort_values("n_chars", ignore_index=True)
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    lo = vals[np.searchsorted(cum, -(-5 * n // 100), side="left")]
+    hi = vals[np.searchsorted(cum, -(-95 * n // 100), side="left")]
+
+    def _clip_partial(t: pa.Table) -> pa.Table:
+        v = np.clip(t.column("n_chars").to_numpy(zero_copy_only=False)
+                    .astype(np.int64), lo, hi)
+        g = pd.DataFrame({"source": t.column("source").to_numpy(),
+                          "v": v}).groupby("source", sort=False).agg(
+            partial_docs=("v", "size"),
+            partial_sum=("v", "sum")).reset_index()
+        g["partial_docs"] = g["partial_docs"].astype(np.int64)
+        g["partial_sum"] = g["partial_sum"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(ds.map_batches(_clip_partial, batch_format="pyarrow"))
+    m = df.groupby("source", sort=True, as_index=False).sum()
+    nd = m["partial_docs"].to_numpy(np.int64)
+    sm = m["partial_sum"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(m["source"].tolist(), pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "sum_clipped": pa.array(sm, pa.int64()),
+        "mean_clipped": pa.array(sm.astype(np.float64)
+                                 / nd.astype(np.float64), pa.float64())})
+
+
+EXTRA_QUERIES.update({"d_winsorize": q_winsorize})
+EXTRA_ORACLE_SQL.update({"d_winsorize": """
+WITH s AS (SELECT n_chars,
+    row_number() OVER (ORDER BY n_chars) AS rk,
+    count(*) OVER () AS n
+  FROM documents),
+cuts AS (SELECT
+    (SELECT n_chars FROM s WHERE rk = CAST(ceil(5 * n / 100.0) AS BIGINT)
+     LIMIT 1) AS lo,
+    (SELECT n_chars FROM s WHERE rk = CAST(ceil(95 * n / 100.0) AS BIGINT)
+     LIMIT 1) AS hi
+  FROM (SELECT DISTINCT n FROM s)),
+c AS (SELECT source,
+        least(greatest(n_chars, cuts.lo), cuts.hi) AS v
+      FROM documents, cuts)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(v) AS BIGINT) AS sum_clipped,
+  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_clipped
+FROM c GROUP BY 1"""})

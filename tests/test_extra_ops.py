@@ -1664,3 +1664,37 @@ def test_norm_histogram_totals(ray_session, ducks):
     out = q_norm_histogram(SF).to_pandas()
     total = ducks.sql("SELECT count(*) FROM embeddings").fetchone()[0]
     assert out["n_vectors"].sum() == total
+
+
+def test_dup_rate_totals(ray_session, ducks):
+    """Per-source doc totals match and 0 <= dup_rate < 1."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_dup_rate)
+    out = q_dup_rate(SF).to_pandas()
+    want = ducks.sql("SELECT source, count(*) AS n FROM documents "
+                     "GROUP BY 1").df()
+    m = out.merge(want, on="source")
+    assert (m["n_docs"] == m["n"]).all()
+    assert ((out["dup_rate"] >= 0) & (out["dup_rate"] < 1)).all()
+    assert (out["n_distinct"] <= out["n_docs"]).all()
+
+
+def test_custdist_covers_all_customers(ray_session, ducks):
+    """Σ custdist == customer count (the zero-order cohort is in)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_custdist)
+    out = q_custdist(SF).to_pandas()
+    n_cust = ducks.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert out["custdist"].sum() == n_cust
+
+
+def test_winsorize_bounds(ray_session, ducks):
+    """Clipped mean sits inside the raw min/max and totals match."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_winsorize)
+    out = q_winsorize(SF).to_pandas()
+    lo, hi, n = ducks.sql(
+        "SELECT min(n_chars), max(n_chars), count(*) FROM documents"
+    ).fetchone()
+    assert out["n_docs"].sum() == n
+    assert out["mean_clipped"].between(lo, hi).all()
