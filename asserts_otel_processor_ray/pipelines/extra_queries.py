@@ -5499,3 +5499,132 @@ SELECT source, count(*) AS n_docs,
   CAST(sum(v) AS BIGINT) AS sum_clipped,
   CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_clipped
 FROM c GROUP BY 1"""})
+
+
+# ---- shingle novelty scoring ---------------------------------------------------------
+
+def q_novelty(sf_dir: str) -> pa.Table:
+    """Per-document token-3-gram novelty — the streaming-curation
+    signal "how much of this doc is first-seen": a shingle's first
+    owner is its min doc_id, novelty = first-owned / distinct
+    shingles.  Per-batch distinct (doc, shingle) partials → ONE hash
+    repartition by shingle (each shingle's owners block-local: min +
+    per-doc tallies) → per-doc merge.  Integers + one mirrored
+    division; docs with < 3 tokens have no shingles and drop out on
+    both sides."""
+    docs = _docs(sf_dir)
+
+    def _shingle_partial(t: pa.Table) -> pa.Table:
+        toks = T._tokens_series(t.column("text"))
+        ids = t.column("doc_id").to_numpy()
+        ex = toks.explode()
+        rows = ex.index.to_numpy()
+        w = ex.to_numpy().astype("U")
+        s2 = rows[2:] == rows[:-2]
+        g = np.char.add(np.char.add(
+            np.char.add(np.char.add(w[:-2], " "), w[1:-1]), " "), w[2:])
+        df = pd.DataFrame({"doc_id": ids[rows[:-2][s2]],
+                           "shingle": g[s2]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _first_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "partial_total": pd.Series(dtype=np.int64),
+                "partial_novel": pd.Series(dtype=np.int64)})
+        d = df.drop_duplicates()
+        first = d.groupby("shingle", sort=False)["doc_id"].transform("min")
+        d = d.assign(novel=(d["doc_id"] == first).astype(np.int64))
+        out = d.groupby("doc_id", sort=False).agg(
+            partial_total=("shingle", "size"),
+            partial_novel=("novel", "sum")).reset_index()
+        out["partial_total"] = out["partial_total"].astype(np.int64)
+        out["partial_novel"] = out["partial_novel"].astype(np.int64)
+        return out
+
+    nparts = shuffle_width(docs.count())
+    use_hash_shuffle(docs, nparts)
+    df = collect_df(docs.map_batches(_shingle_partial,
+                                     batch_format="pyarrow")
+                    .repartition(num_blocks=nparts, keys=["shingle"])
+                    .map_batches(_first_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_shingles": pa.array([], pa.int64()),
+                         "n_novel": pa.array([], pa.int64()),
+                         "novelty": pa.array([], pa.float64())})
+    m = df.groupby("doc_id", sort=True, as_index=False).sum()
+    tot = m["partial_total"].to_numpy(np.int64)
+    nov = m["partial_novel"].to_numpy(np.int64)
+    return pa.table({
+        "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
+        "n_shingles": pa.array(tot, pa.int64()),
+        "n_novel": pa.array(nov, pa.int64()),
+        "novelty": pa.array(nov.astype(np.float64)
+                            / tot.astype(np.float64), pa.float64())})
+
+
+EXTRA_QUERIES.update({"d_novelty": q_novelty})
+EXTRA_ORACLE_SQL.update({"d_novelty": """
+WITH tok AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+z AS (SELECT doc_id, unnest(list_zip(t, t[2:], t[3:])) AS p FROM tok),
+sh AS (SELECT DISTINCT doc_id,
+         p[1] || ' ' || p[2] || ' ' || p[3] AS g
+       FROM z WHERE p[3] IS NOT NULL),
+f AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY g)
+SELECT sh.doc_id, count(*) AS n_shingles,
+  CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS novelty
+FROM sh JOIN f USING (g) GROUP BY sh.doc_id"""})
+
+
+# ---- ANN recall evaluation -----------------------------------------------------------
+
+def q_ann_recall(sf_dir: str) -> pa.Table:
+    """Recall@5 of the LSH ANN path against the exact top-k, per
+    query — the index-quality report an ANN deployment watches.  Both
+    paths run distributed (broadcast queries, bounded two-phase
+    top-k); the per-query intersection is a driver merge over 2·k·|Q|
+    rows.  The oracle composes the two generated SQL mirrors, so the
+    recall itself is byte-checked."""
+    ex = q_ann_topk(sf_dir).to_pandas()
+    ap = q_ann_lsh(sf_dir).to_pandas()
+    hit = ex.merge(ap, on=["query_id", "neighbor_id"], how="inner") \
+        .groupby("query_id").size()
+    qids = np.sort(ex["query_id"].unique())
+    k = int(ex.groupby("query_id").size().max())
+    n_hit = hit.reindex(qids, fill_value=0).to_numpy(np.int64)
+    return pa.table({
+        "query_id": pa.array(qids.astype(np.int64), pa.int64()),
+        "n_hit": pa.array(n_hit, pa.int64()),
+        "recall": pa.array(n_hit.astype(np.float64) / float(k),
+                           pa.float64())})
+
+
+def _ann_recall_sql() -> str:
+    exact = EXTRA_ORACLE_SQL["e_ann_topk"].strip()
+    approx = EXTRA_ORACLE_SQL["e_ann_lsh"].strip()
+    return f"""
+WITH ex AS ({exact}),
+ap AS ({approx}),
+k AS (SELECT max(cnt) AS k FROM (
+    SELECT count(*) AS cnt FROM ex GROUP BY query_id)),
+h AS (SELECT ex.query_id,
+        CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit
+      FROM ex LEFT JOIN ap
+        ON ex.query_id = ap.query_id
+       AND ex.neighbor_id = ap.neighbor_id
+      GROUP BY ex.query_id)
+SELECT query_id, n_hit,
+  CAST(n_hit AS DOUBLE) / CAST(k.k AS DOUBLE) AS recall
+FROM h, k"""
+
+
+EXTRA_QUERIES.update({"e_ann_recall": q_ann_recall})
+EXTRA_ORACLE_SQL.update({"e_ann_recall": _ann_recall_sql()})

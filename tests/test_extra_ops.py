@@ -1698,3 +1698,26 @@ def test_winsorize_bounds(ray_session, ducks):
     ).fetchone()
     assert out["n_docs"].sum() == n
     assert out["mean_clipped"].between(lo, hi).all()
+
+
+def test_novelty_first_doc_is_fully_novel(ray_session):
+    """The corpus-min doc_id owns all its shingles; novelty bounds
+    hold everywhere."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_novelty)
+    out = q_novelty(SF).to_pandas()
+    assert len(out) > 0
+    assert ((out["novelty"] >= 0) & (out["novelty"] <= 1)).all()
+    assert (out["n_novel"] <= out["n_shingles"]).all()
+    first = out.loc[out["doc_id"].idxmin()]
+    assert first["n_novel"] == first["n_shingles"]
+
+
+def test_ann_recall_matches_pinned_recall(ray_session):
+    """Mean recall@5 here equals the recall the LSH tests pin
+    (1.0 at gate data), and never exceeds 1."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_ann_recall)
+    out = q_ann_recall(SF).to_pandas()
+    assert (out["recall"] <= 1.0).all()
+    assert out["recall"].mean() >= 0.8
