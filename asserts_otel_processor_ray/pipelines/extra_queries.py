@@ -5628,3 +5628,115 @@ FROM h, k"""
 
 EXTRA_QUERIES.update({"e_ann_recall": q_ann_recall})
 EXTRA_ORACLE_SQL.update({"e_ann_recall": _ann_recall_sql()})
+
+
+# ---- IVF list-size balance ------------------------------------------------------------
+
+def q_ivf_sizes(sf_dir: str) -> pa.Table:
+    """IVF list-size histogram — the balance check that decides
+    whether centroids need retraining before the index is written
+    (skewed lists break the nprobe cost model): per-batch nearest-
+    centroid assignment (one matmul against the broadcast codebook) →
+    per-batch list-count partials → tiny driver merge (nlist rows)."""
+    ds = _emb(sf_dir)
+
+    def _asn_partial(t: pa.Table) -> pa.Table:
+        ivf = S.IVFIndex(_EMB_DIM, nlist=16)
+        asn = ivf.assign(S._normalize(S._matrix(t).astype(np.float64)))
+        v, c = np.unique(asn, return_counts=True)
+        return pa.table({"list_id": pa.array(v.astype(np.int64),
+                                             pa.int64()),
+                         "partial_n": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    df = collect_df(ds.map_batches(_asn_partial, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"list_id": pa.array([], pa.int64()),
+                         "n_vectors": pa.array([], pa.int64())})
+    out = df.groupby("list_id", sort=True, as_index=False)["partial_n"] \
+        .sum().rename(columns={"partial_n": "n_vectors"})
+    out["n_vectors"] = out["n_vectors"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _ivf_sizes_sql(dim: int = _EMB_DIM, nlist: int = 16) -> str:
+    lits = _ivf_centroid_literals(dim, nlist)
+    cos_terms = ", ".join(
+        f"list_cosine_similarity(e, CAST({lits[i]} AS DOUBLE[]))"
+        for i in range(nlist))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+cs AS (SELECT vec_id, [{cos_terms}] AS cl FROM v),
+asn AS (SELECT vec_id,
+          CAST(list_position(cl, list_aggregate(cl, 'max')) - 1
+               AS BIGINT) AS list_id
+        FROM cs)
+SELECT list_id, count(*) AS n_vectors FROM asn GROUP BY 1"""
+
+
+EXTRA_QUERIES.update({"e_ivf_sizes": q_ivf_sizes})
+EXTRA_ORACLE_SQL.update({"e_ivf_sizes": _ivf_sizes_sql()})
+
+
+# ---- first-event → first-purchase conversion lag ---------------------------------------
+
+def q_conversion_lag(sf_dir: str) -> pa.Table:
+    """Histogram of days from a user's first event to their first
+    purchase — the activation-funnel lag: per-batch (user, min ts,
+    min purchase ts) partials → ONE keyed exchange + block reduce →
+    per-block day-lag histogram partials → tiny driver merge.  Users
+    who never purchase drop out (inner semantics, both sides)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def _min_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        u = t.column("user_id").to_numpy()
+        isp = t.column("event_type").to_numpy(zero_copy_only=False) \
+            == "purchase"
+        g = pd.DataFrame({"user_id": u, "first_us": ts,
+                          "first_p_us": np.where(isp, ts, np.int64(2**62))})
+        out = g.groupby("user_id", sort=False).agg(
+            first_us=("first_us", "min"),
+            first_p_us=("first_p_us", "min")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _lag_hist_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lag_days": pd.Series(dtype=np.int64),
+                                 "partial_n": pd.Series(dtype=np.int64)})
+        g = df.groupby("user_id", sort=False).agg(
+            first_us=("first_us", "min"),
+            first_p_us=("first_p_us", "min"))
+        g = g[g["first_p_us"] < 2**62]
+        lag = (g["first_p_us"].to_numpy(np.int64) // _DAY_US
+               - g["first_us"].to_numpy(np.int64) // _DAY_US)
+        v, c = np.unique(lag, return_counts=True)
+        return pd.DataFrame({"lag_days": v,
+                             "partial_n": c.astype(np.int64)})
+
+    nparts = shuffle_width(ev.count())
+    use_hash_shuffle(ev, nparts)
+    df = collect_df(ev.map_batches(_min_partial, batch_format="pyarrow")
+                    .repartition(num_blocks=nparts, keys=["user_id"])
+                    .map_batches(_lag_hist_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"lag_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    out = df.groupby("lag_days", sort=True, as_index=False)["partial_n"] \
+        .sum().rename(columns={"partial_n": "n_users"})
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_conversion_lag": q_conversion_lag})
+EXTRA_ORACLE_SQL.update({"g_conversion_lag": """
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      AS first_p_us
+  FROM events GROUP BY 1)
+SELECT (first_p_us // 86400000000) - (first_us // 86400000000)
+    AS lag_days,
+  count(*) AS n_users
+FROM f WHERE first_p_us IS NOT NULL GROUP BY 1"""})

@@ -1721,3 +1721,26 @@ def test_ann_recall_matches_pinned_recall(ray_session):
     out = q_ann_recall(SF).to_pandas()
     assert (out["recall"] <= 1.0).all()
     assert out["recall"].mean() >= 0.8
+
+
+def test_ivf_sizes_cover_corpus(ray_session, ducks):
+    """Every vector lands in exactly one list."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_ivf_sizes)
+    out = q_ivf_sizes(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert out["n_vectors"].sum() == total
+    assert out["list_id"].between(0, 15).all()
+
+
+def test_conversion_lag_nonnegative(ray_session, ducks):
+    """First purchase cannot precede the first event; buyer count
+    matches."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_conversion_lag)
+    out = q_conversion_lag(SF).to_pandas()
+    assert (out["lag_days"] >= 0).all()
+    buyers = ducks.sql(
+        "SELECT count(DISTINCT user_id) FROM events "
+        "WHERE event_type = 'purchase'").fetchone()[0]
+    assert out["n_users"].sum() == buyers
