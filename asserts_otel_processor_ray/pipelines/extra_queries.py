@@ -5740,3 +5740,108 @@ SELECT (first_p_us // 86400000000) - (first_us // 86400000000)
     AS lag_days,
   count(*) AS n_users
 FROM f WHERE first_p_us IS NOT NULL GROUP BY 1"""})
+
+
+# ---- boolean keyword search ------------------------------------------------------------
+
+SEARCH_TERMS = ("shuffle", "spill")
+
+
+def q_bool_search(sf_dir: str) -> pa.Table:
+    """Conjunctive keyword search (docs containing ALL query terms) —
+    the retrieval primitive behind corpus probes: a stateless
+    vectorized scan (per-batch token-set membership, zero exchange).
+    At index scale the same predicate runs against the d_doc_freq
+    inverted index instead; this is the scan path."""
+    docs = _docs(sf_dir)
+
+    def _match(t: pa.Table) -> pa.Table:
+        toks = T._tokens_series(t.column("text"))
+        ids = t.column("doc_id").to_numpy()
+        ex = toks.explode()
+        rows = ex.index.to_numpy()
+        hits = np.zeros((len(ids), len(SEARCH_TERMS)), bool)
+        for j, term in enumerate(SEARCH_TERMS):
+            m = (ex == term).to_numpy()
+            if m.any():
+                hits[np.unique(rows[m]), j] = True
+        keep = hits.all(axis=1)
+        return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64),
+                                            pa.int64())})
+
+    df = collect_df(docs.map_batches(_match, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df.sort_values("doc_id",
+                                               ignore_index=True),
+                                preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_bool_search": q_bool_search})
+EXTRA_ORACLE_SQL.update({"d_bool_search": f"""
+WITH tok AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents)
+SELECT doc_id FROM tok
+WHERE {' AND '.join(f"list_contains(t, '{w}')" for w in SEARCH_TERMS)}"""})
+
+
+# ---- deterministic A/B split with per-arm metrics --------------------------------------
+
+AB_A1 = 818_205_325_379_551_653
+AB_B1 = 266_312_756_309_400_839
+AB_A2 = 911_160_543_907_900_417
+_MOD61 = 2305843009213693951
+
+
+def q_ab_split(sf_dir: str) -> pa.Table:
+    """Deterministic hash-based A/B assignment (arm = avalanche-mixed
+    user hash mod 2) with per-(arm, event_type) counts — the
+    experiment-infrastructure primitive: assignment is a pure
+    function of user_id (stable across runs and machines, mirrored in
+    SQL), metrics are per-batch partials → tiny driver merge.  Counts
+    only — integer-exact; value metrics would ride the integer-cents
+    pattern."""
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        mix_hash61)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        h = mix_hash61((u % np.int64(_MOD61)).astype(np.uint64),
+                       AB_A1, AB_B1, AB_A2)
+        arm = (h & np.uint64(1)).astype(np.int64)
+        g = pd.DataFrame({"arm": arm,
+                          "event_type": t.column("event_type").to_numpy()
+                          }).groupby(["arm", "event_type"], sort=False) \
+            .size().reset_index(name="partial_n")
+        g["partial_n"] = g["partial_n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(ev.map_batches(_partial, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"arm": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64())})
+    out = df.groupby(["arm", "event_type"], sort=True, as_index=False)[
+        "partial_n"].sum().rename(columns={"partial_n": "n_events"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_ab_split": q_ab_split})
+EXTRA_ORACLE_SQL.update({"g_ab_split": f"""
+WITH h1 AS (
+  SELECT event_type,
+    CAST((CAST(user_id % {_MOD61} AS HUGEINT) * {AB_A1} + {AB_B1})
+         % {_MOD61} AS BIGINT) AS h
+  FROM events),
+h2 AS (SELECT event_type, xor(h, h >> 31) AS h FROM h1),
+h3 AS (SELECT event_type,
+         CAST((CAST(h AS HUGEINT) * {AB_A2}) % {_MOD61} AS BIGINT) AS h
+       FROM h2),
+h4 AS (SELECT event_type, xor(h, h >> 29) AS h FROM h3)
+SELECT h & 1 AS arm, event_type, count(*) AS n_events
+FROM h4 GROUP BY 1, 2"""})

@@ -1744,3 +1744,29 @@ def test_conversion_lag_nonnegative(ray_session, ducks):
         "SELECT count(DISTINCT user_id) FROM events "
         "WHERE event_type = 'purchase'").fetchone()[0]
     assert out["n_users"].sum() == buyers
+
+
+def test_bool_search_is_conjunctive(ray_session, ducks):
+    """Result ⊆ each single-term result set."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        SEARCH_TERMS, q_bool_search)
+    out = set(q_bool_search(SF).to_pandas()["doc_id"])
+    for w in SEARCH_TERMS:
+        single = set(ducks.sql(
+            "SELECT doc_id FROM documents WHERE list_contains("
+            f"regexp_split_to_array(trim(lower(text)), '\\s+'), '{w}')"
+        ).df()["doc_id"])
+        assert out <= single
+
+
+def test_ab_split_stable_and_total(ray_session, ducks):
+    """Assignment is a pure function of user_id (two runs identical)
+    and both arms together cover every event."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_ab_split)
+    a = q_ab_split(SF).to_pandas()
+    b = q_ab_split(SF).to_pandas()
+    assert a.equals(b)
+    total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert a["n_events"].sum() == total
+    assert set(a["arm"]) <= {0, 1}
