@@ -4235,14 +4235,18 @@ def q_user_ntile(sf_dir: str) -> pa.Table:
                          "quartile": pa.array([], pa.int64())})
     h = hist.groupby("v", sort=True)["c"].sum()
     n_users = int(h.sum())
-    base = dict(zip(h.index.to_numpy(np.int64),
-                    np.concatenate(([0], np.cumsum(h.to_numpy(np.int64))[:-1]))))
-    base_ref = ray.put(base)
+    # sorted (value, base-rank) arrays: the block kernel maps values
+    # to base ranks with one searchsorted — no per-row Python
+    base_vals = h.index.to_numpy(np.int64)
+    base_ranks = np.concatenate(
+        ([0], np.cumsum(h.to_numpy(np.int64))[:-1]))
+    base_ref = ray.put((base_vals, base_ranks))
 
     class _NtileBlock:
         def __init__(self, r, n):
             import ray as _ray
-            self.base, self.n = _ray.get(r), n
+            self.vals, self.ranks = _ray.get(r)
+            self.n = n
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             if df.empty or "n_events" not in df.columns:
@@ -4253,8 +4257,7 @@ def q_user_ntile(sf_dir: str) -> pa.Table:
             d = df.sort_values(["n_events", "user_id"], kind="mergesort")
             tie = d.groupby("n_events", sort=False).cumcount().to_numpy(np.int64)
             v = d["n_events"].to_numpy(np.int64)
-            rank = np.fromiter((self.base[x] for x in v), np.int64,
-                               len(v)) + tie
+            rank = self.ranks[np.searchsorted(self.vals, v)] + tie
             return pd.DataFrame({
                 "user_id": d["user_id"].to_numpy(np.int64),
                 "n_events": v,
