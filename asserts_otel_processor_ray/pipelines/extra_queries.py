@@ -5848,3 +5848,64 @@ h3 AS (SELECT event_type,
 h4 AS (SELECT event_type, xor(h, h >> 29) AS h FROM h3)
 SELECT h & 1 AS arm, event_type, count(*) AS n_events
 FROM h4 GROUP BY 1, 2"""})
+
+
+# ---- top user journeys (ordered path aggregation) --------------------------------------
+
+JOURNEY_LEN = 3
+JOURNEY_TOPK = 20
+
+
+def _journey_block(df: pd.DataFrame) -> pd.DataFrame:
+    """First-JOURNEY_LEN event-type path per user for one hash
+    partition (users block-local): sort, cumcount-limit, one
+    str.cat per user — then partial path counts."""
+    if df.empty:
+        return pd.DataFrame({"journey": pd.Series(dtype=object),
+                             "partial_n": pd.Series(dtype=np.int64)})
+    d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    d = d[d.groupby("user_id", sort=False).cumcount() < JOURNEY_LEN]
+    j = d.groupby("user_id", sort=False)["event_type"] \
+        .agg(">".join).reset_index(name="journey")
+    g = j.groupby("journey", sort=False).size().reset_index(
+        name="partial_n")
+    g["partial_n"] = g["partial_n"].astype(np.int64)
+    return g
+
+
+def q_user_journey(sf_dir: str) -> pa.Table:
+    """Top-20 onboarding paths — the ordered first-3-event-type
+    journey per user, counted across users: ONE hash repartition by
+    user_id, a block-local sort + ordered string aggregation, then a
+    bounded driver merge (|types|^3 × blocks partial rows) and the
+    exact total-order top-K."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = shuffle_width(ev.count())
+    use_hash_shuffle(ev, nparts)
+    df = collect_df(ev.repartition(num_blocks=nparts, keys=["user_id"])
+                    .map_batches(_journey_block, batch_format="pandas"))
+    if df.empty:
+        return pa.table({"journey": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64())})
+    m = df.groupby("journey", sort=False, as_index=False)["partial_n"] \
+        .sum().rename(columns={"partial_n": "n_users"})
+    m = m.sort_values(["n_users", "journey"], ascending=[False, True],
+                      kind="mergesort").head(JOURNEY_TOPK) \
+        .reset_index(drop=True)
+    m["n_users"] = m["n_users"].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_user_journey": q_user_journey})
+EXTRA_ORACLE_SQL.update({"g_user_journey": f"""
+WITH e AS (SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+  FROM events),
+j AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        AS journey
+      FROM e WHERE rn <= {JOURNEY_LEN} GROUP BY user_id)
+SELECT journey, count(*) AS n_users FROM j
+GROUP BY 1 ORDER BY n_users DESC, journey LIMIT {JOURNEY_TOPK}"""})

@@ -1770,3 +1770,16 @@ def test_ab_split_stable_and_total(ray_session, ducks):
     total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
     assert a["n_events"].sum() == total
     assert set(a["arm"]) <= {0, 1}
+
+
+def test_user_journey_totals(ray_session, ducks):
+    """Journeys partition users: the full (uncapped) count equals the
+    distinct-user total; the capped result is a prefix of it."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_user_journey)
+    out = q_user_journey(SF).to_pandas()
+    users = ducks.sql(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert out["n_users"].sum() <= users
+    assert (out["n_users"].to_numpy()[:-1]
+            >= out["n_users"].to_numpy()[1:]).all()
