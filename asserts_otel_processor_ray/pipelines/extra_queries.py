@@ -5909,3 +5909,122 @@ j AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
       FROM e WHERE rn <= {JOURNEY_LEN} GROUP BY user_id)
 SELECT journey, count(*) AS n_users FROM j
 GROUP BY 1 ORDER BY n_users DESC, journey LIMIT {JOURNEY_TOPK}"""})
+
+
+# ---- incremental dedup against a reference corpus --------------------------------------
+
+def q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental-ingestion dedup: treat even doc_ids as the already-
+    ingested reference corpus and keep only the odd (new) docs whose
+    normalized text is NOT in it — the nightly-batch shape (new data
+    dedups against petabytes of history without ever joining history
+    against itself).  Tagged union on text_norm → ONE keyed exchange →
+    block-local anti; history ships only (hash-partitioned) normalized
+    keys, never payloads."""
+    import pyarrow.compute as apc
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        norm = apc.utf8_trim_whitespace(
+            apc.replace_substring_regex(
+                apc.utf8_lower(t.column("text")), r"\s+", " "))
+        side = apc.cast(apc.equal(
+            apc.bit_wise_and(ids, 1), 0), pa.int8())  # 1 = reference
+        return pa.table({"text_norm": norm, "side": side,
+                         "doc_id": ids})
+
+    def _anti_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        ref = df.loc[df["side"] == 1, "text_norm"]
+        keep = df[(df["side"] == 0) & ~df["text_norm"].isin(set(ref))]
+        return pd.DataFrame({"doc_id": keep["doc_id"]
+                             .to_numpy(np.int64)})
+
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    out = collect_df(ds.map_batches(_tag, batch_format="pyarrow")
+                     .repartition(num_blocks=nparts, keys=["text_norm"])
+                     .map_batches(_anti_block, batch_format="pandas"))
+    if out.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id", ignore_index=True),
+        preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_incremental_dedup": q_incremental_dedup})
+EXTRA_ORACLE_SQL.update({"d_incremental_dedup": """
+WITH n AS (SELECT doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+  FROM documents)
+SELECT doc_id FROM n
+WHERE doc_id % 2 = 1
+  AND text_norm NOT IN (SELECT text_norm FROM n WHERE doc_id % 2 = 0)"""})
+
+
+# ---- snowflake region rollup ------------------------------------------------------------
+
+def q_region_orders(sf_dir: str) -> pa.Table:
+    """Order counts per REGION through the snowflake chain orders →
+    customer → nation → region: the fact stream joins customer via
+    the native distributed hash join ONCE, then nation→region
+    collapses into a single composed broadcast gather (25 + 5 rows —
+    dimensions this small never justify an exchange)."""
+    from ray.data.aggregate import Sum
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    nparts = shuffle_width(orders.count())
+    use_hash_shuffle(orders, nparts)
+    joined = orders.join(cust, join_type="inner", num_partitions=nparts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_regionkey"])
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap_of_nation = np.empty(
+        int(pa.compute.max(nt.column("n_nationkey")).as_py()) + 1,
+        dtype=object)
+    rnames = dict(zip(rt.column("r_regionkey").to_numpy(),
+                      rt.column("r_name").to_numpy(zero_copy_only=False)))
+    rmap_of_nation[nt.column("n_nationkey").to_numpy()] = [
+        rnames[int(k)] for k in nt.column("n_regionkey").to_numpy()]
+    ref = ray.put(rmap_of_nation)
+
+    class _RegionPartial:
+        def __init__(self, r):
+            import ray as _ray
+            self.rmap = _ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            g = pd.DataFrame({"r_name": self.rmap[nk]}) \
+                .groupby("r_name", sort=False).size() \
+                .reset_index(name="partial_n")
+            g["partial_n"] = g["partial_n"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(joined.map_batches(
+        _RegionPartial, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 8)))
+    if df.empty:
+        return pa.table({"r_name": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64())})
+    out = df.groupby("r_name", sort=True, as_index=False)["partial_n"] \
+        .sum().rename(columns={"partial_n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"h_region_orders": q_region_orders})
+EXTRA_ORACLE_SQL.update({"h_region_orders": """
+SELECT r.r_name, count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1"""})

@@ -1783,3 +1783,30 @@ def test_user_journey_totals(ray_session, ducks):
     assert out["n_users"].sum() <= users
     assert (out["n_users"].to_numpy()[:-1]
             >= out["n_users"].to_numpy()[1:]).all()
+
+
+def test_incremental_dedup_no_reference_text(ray_session, ducks):
+    """No surviving new doc shares normalized text with the reference
+    half, and every dropped odd doc does."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_incremental_dedup)
+    out = set(q_incremental_dedup(SF).to_pandas()["doc_id"])
+    norm = ducks.sql(
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g')) AS tn FROM documents").df()
+    ref = set(norm.loc[norm["doc_id"] % 2 == 0, "tn"])
+    odd = norm[norm["doc_id"] % 2 == 1]
+    survived = odd[odd["doc_id"].isin(out)]
+    dropped = odd[~odd["doc_id"].isin(out)]
+    assert not (set(survived["tn"]) & ref)
+    assert set(dropped["tn"]) <= ref
+
+
+def test_region_orders_totals(ray_session, ducks):
+    """Five regions, totals equal the order count."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_region_orders)
+    out = q_region_orders(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM orders").fetchone()[0]
+    assert out["n_orders"].sum() == total
+    assert len(out) == 5
