@@ -6028,3 +6028,335 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1"""})
+
+
+# ---- TPC-H Q14 / Q5 analogs + ROWS-frame window --------------------------
+
+PROMO_MONTH = "1997-09-01 00:00:00"
+_PROMO_LO_US = int(pd.Timestamp("1997-09-01").value // 1000)
+_PROMO_HI_US = int(pd.Timestamp("1997-10-01").value // 1000)
+DIM_BROADCAST_BUDGET = 50_000_000   # dimension rows the driver may
+# hold and ray.put; TPC-H part/customer/supplier at petabyte scale
+# exceed it, at which point the query falls back to the distributed
+# hash join (equality between the two paths is test-pinned).
+
+
+def _dim_rows(path: str) -> int:
+    """Row count from parquet metadata only — no column data read."""
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _du_partial_cols(batch: pa.Table, keep: np.ndarray) -> np.ndarray:
+    """Exact discounted-revenue units (1e-4 dollars) for kept rows —
+    the h_pricing integer idiom (reference parity: the money math of
+    assertsprocessor metrics, metric_helper.go, is float; we tighten
+    to exact ints so results are order-independent)."""
+    pc_ = np.rint(batch.column("l_extendedprice").to_numpy()[keep]
+                  * 100).astype(np.int64)
+    dc = np.rint(batch.column("l_discount").to_numpy()[keep]
+                 * 100).astype(np.int64)
+    return pc_ * (100 - dc)
+
+
+def q_promo_revenue(sf_dir: str, force_join: bool = False) -> pa.Table:
+    """TPC-H-Q14-style promo revenue share for one ship month:
+    lineitem classifies each row by the part's p_type.  Scale shape:
+    the part dimension becomes ONE ray.put boolean array (is_promo by
+    partkey) gathered inside a streaming lineitem pass — zero
+    exchange; beyond DIM_BROADCAST_BUDGET (or force_join=True) the
+    slimmed (l_partkey, du) partials take a native distributed hash
+    join against part instead, and the rollup stays a per-batch
+    integer partial either way."""
+    import ray as _ray
+    n_part = _dim_rows(f"{sf_dir}/part.parquet")
+
+    def _filter_keep(batch: pa.Table) -> np.ndarray:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        return (ship >= _PROMO_LO_US) & (ship < _PROMO_HI_US)
+
+    if n_part <= DIM_BROADCAST_BUDGET and not force_join:
+        part_t = pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_type"])
+        pk = part_t.column("p_partkey").to_numpy()
+        promo = np.zeros(int(pk.max()) + 1 if len(pk) else 1, np.bool_)
+        promo[pk] = np.asarray(
+            part_t.column("p_type").to_numpy(zero_copy_only=False)
+        ) == "PROMO"
+        ref = _ray.put(promo)
+
+        class _PromoPartial:
+            def __init__(self, r):
+                self.promo = _ray.get(r)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keep = _filter_keep(batch)
+                du = _du_partial_cols(batch, keep)
+                isp = self.promo[
+                    batch.column("l_partkey").to_numpy()[keep]]
+                return pa.table({
+                    "pdu": pa.array([int(du[isp].sum())], pa.int64()),
+                    "tdu": pa.array([int(du.sum())], pa.int64())})
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+        part = li.map_batches(_PromoPartial, fn_constructor_args=(ref,),
+                              batch_format="pyarrow", concurrency=(1, 8))
+        df = collect_df(part)
+        pdu = sum(int(v) for v in df.iloc[:, 0]) if not df.empty else 0
+        tdu = sum(int(v) for v in df.iloc[:, 1]) if not df.empty else 0
+    else:
+        def _slim(batch: pa.Table) -> pa.Table:
+            keep = _filter_keep(batch)
+            return pa.table({
+                "l_partkey": pa.array(
+                    batch.column("l_partkey").to_numpy()[keep],
+                    pa.int64()),
+                "du": pa.array(_du_partial_cols(batch, keep),
+                               pa.int64())})
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"]).map_batches(
+            _slim, batch_format="pyarrow")
+        pd_ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_type"])
+        nparts = shuffle_width(li.count())
+        use_hash_shuffle(li, nparts)
+        joined = li.join(pd_ds, join_type="inner",
+                         num_partitions=nparts,
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+        def _sum_block(batch: pa.Table) -> pa.Table:
+            du = batch.column("du").to_numpy()
+            isp = np.asarray(batch.column("p_type").to_numpy(
+                zero_copy_only=False)) == "PROMO"
+            return pa.table({
+                "pdu": pa.array([int(du[isp].sum())], pa.int64()),
+                "tdu": pa.array([int(du.sum())], pa.int64())})
+
+        df = collect_df(joined.map_batches(_sum_block,
+                                           batch_format="pyarrow"))
+        pdu = sum(int(v) for v in df.iloc[:, 0]) if not df.empty else 0
+        tdu = sum(int(v) for v in df.iloc[:, 1]) if not df.empty else 0
+    return pa.table({
+        "promo_revenue": pa.array([float(pdu) / 10000.0], pa.float64()),
+        "total_revenue": pa.array([float(tdu) / 10000.0], pa.float64()),
+        "promo_share_pct": pa.array(
+            [100.0 * float(pdu) / float(tdu) if tdu else 0.0],
+            pa.float64())})
+
+
+Q5_LO = "1997-01-01 00:00:00"
+Q5_HI = "1998-01-01 00:00:00"
+_Q5_LO_US = int(pd.Timestamp(Q5_LO).value // 1000)
+_Q5_HI_US = int(pd.Timestamp(Q5_HI).value // 1000)
+
+
+def q_q5_volume(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-style local supplier volume: revenue per nation where
+    the ordering customer and the line's supplier share a nation, for
+    one order year.  Scale shape: the only exchange is the fact-fact
+    lineitem ⋈ orders hash join on orderkey, with BOTH sides slimmed
+    first (lineitem → (orderkey, suppkey, du) exact-integer partial
+    rows; orders → date-filtered (orderkey, custkey)); customer and
+    supplier collapse to budget-checked key→nationkey ray.put arrays
+    gathered in the post-join pass, and nation (25 rows) names the
+    final driver merge."""
+    import ray as _ray
+    for dim in ("customer", "supplier"):
+        n = _dim_rows(f"{sf_dir}/{dim}.parquet")
+        if n > DIM_BROADCAST_BUDGET:
+            raise ValueError(
+                f"{dim} has {n} rows > DIM_BROADCAST_BUDGET — use a "
+                "second distributed join for this corpus")
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+
+    def _keymap(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        m = np.full(int(keys.max()) + 1 if len(keys) else 1, -1,
+                    np.int32)
+        m[keys] = vals.astype(np.int32)
+        return m
+
+    cmap = _ray.put(_keymap(ct.column("c_custkey").to_numpy(),
+                            ct.column("c_nationkey").to_numpy()))
+    smap = _ray.put(_keymap(st.column("s_suppkey").to_numpy(),
+                            st.column("s_nationkey").to_numpy()))
+
+    def _li_slim(batch: pa.Table) -> pa.Table:
+        keep = np.ones(batch.num_rows, np.bool_)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "du": pa.array(_du_partial_cols(batch, keep), pa.int64())})
+
+    def _o_slim(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (od >= _Q5_LO_US) & (od < _Q5_HI_US)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(
+                pa.array(keep)),
+            "o_custkey": batch.column("o_custkey").filter(
+                pa.array(keep))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(_li_slim,
+                                            batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(_o_slim, batch_format="pyarrow")
+    nparts = shuffle_width(li.count())
+    use_hash_shuffle(li, nparts)
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class _LocalVolume:
+        def __init__(self, cm, sm):
+            self.cmap = _ray.get(cm)
+            self.smap = _ray.get(sm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cn = self.cmap[batch.column("o_custkey").to_numpy()]
+            sn = self.smap[batch.column("l_suppkey").to_numpy()]
+            keep = cn == sn
+            g = pd.DataFrame({
+                "nationkey": cn[keep],
+                "du": batch.column("du").to_numpy()[keep],
+            }).groupby("nationkey", sort=False)["du"].agg(
+                ["sum", "count"]).reset_index()
+            return pa.table({
+                "nationkey": pa.array(g["nationkey"].to_numpy(),
+                                      pa.int32()),
+                "du": pa.array(g["sum"].to_numpy(), pa.int64()),
+                "n": pa.array(g["count"].to_numpy(), pa.int64())})
+
+    df = collect_df(joined.map_batches(
+        _LocalVolume, fn_constructor_args=(cmap, smap),
+        batch_format="pyarrow", concurrency=(1, 8)))
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    names = dict(zip(nt.column("n_nationkey").to_numpy(),
+                     nt.column("n_name").to_numpy(zero_copy_only=False)))
+    if df.empty:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64()),
+                         "n_lines": pa.array([], pa.int64())})
+    df.columns = ["nationkey", "du", "n"]
+    m = df.groupby("nationkey", sort=True).agg(
+        du=("du", lambda s: sum(int(v) for v in s)),
+        n=("n", "sum")).reset_index()
+    return pa.table({
+        "n_name": pa.array([names[int(k)] for k in m["nationkey"]],
+                           pa.string()),
+        "revenue": pa.array([float(int(v)) / 10000.0 for v in m["du"]],
+                            pa.float64()),
+        "n_lines": pa.array(m["n"].to_numpy().astype(np.int64),
+                            pa.int64())})
+
+
+def _moving_avg_block(batch: pa.Table) -> pa.Table:
+    """Vectorized ROWS-frame kernel over one user-partitioned block:
+    sort by (user_id, ts, event_id), windowed sums via one cumsum of
+    exact integer cents (events.value is 2-decimal by construction),
+    one float division at the end — bitwise-stable under any block
+    layout."""
+    if batch.num_rows == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "mov_avg": pa.array([], pa.float64())})
+    uid = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    cents = np.rint(batch.column("value").to_numpy() * 100) \
+        .astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+    n = len(uid)
+    idx = np.arange(n, dtype=np.int64)
+    grp_start = np.empty(n, np.bool_)
+    grp_start[0] = True
+    grp_start[1:] = uid[1:] != uid[:-1]
+    start_idx = np.maximum.accumulate(np.where(grp_start, idx, 0))
+    lo = np.maximum(idx - 3, start_idx)
+    cs = np.cumsum(cents)
+    wsum = cs - cs[lo] + cents[lo]
+    nwin = idx - lo + 1
+    mov = wsum / (100.0 * nwin)
+    return pa.table({"event_id": pa.array(eid, pa.int64()),
+                     "user_id": pa.array(uid, pa.int64()),
+                     "mov_avg": pa.array(mov, pa.float64())})
+
+
+def q_moving_avg(sf_dir: str) -> pa.Table:
+    """Per-user ROWS-frame moving average (last 4 events by (ts,
+    event_id)) over exact integer cents: ONE hash repartition by
+    user_id + a vectorized cumsum block kernel — no global sort, and
+    the single final division makes the float bitwise-stable."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(_moving_avg_block, batch_format="pyarrow",
+                             batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+EXTRA_QUERIES.update({
+    "h_promo_revenue": q_promo_revenue,
+    "h_q5_volume": q_q5_volume,
+    "g_moving_avg": q_moving_avg,
+})
+EXTRA_ORACLE_SQL.update({
+    "h_promo_revenue": f"""
+WITH f AS (
+  SELECT l_partkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS du
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH}'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'),
+s AS (
+  SELECT
+    sum(CAST(CASE WHEN p.p_type = 'PROMO' THEN f.du ELSE 0 END
+             AS HUGEINT)) AS pdu,
+    sum(CAST(f.du AS HUGEINT)) AS tdu
+  FROM f JOIN part p ON f.l_partkey = p.p_partkey)
+SELECT CAST(pdu AS DOUBLE) / 10000.0 AS promo_revenue,
+  CAST(tdu AS DOUBLE) / 10000.0 AS total_revenue,
+  100.0 * CAST(pdu AS DOUBLE) / CAST(tdu AS DOUBLE) AS promo_share_pct
+FROM s""",
+    "h_q5_volume": f"""
+WITH f AS (
+  SELECT l.l_suppkey, o.o_custkey,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS du
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+    AND o.o_orderdate < TIMESTAMP '{Q5_HI}')
+SELECT n.n_name,
+  CAST(sum(CAST(f.du AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM f
+JOIN customer c ON f.o_custkey = c.c_custkey
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1""",
+    "g_moving_avg": """
+SELECT event_id, user_id,
+  sum(CAST(round(value * 100) AS BIGINT)) OVER w
+    / (100.0 * count(*) OVER w) AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+})

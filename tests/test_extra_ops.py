@@ -335,8 +335,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def ducks():
     con = duckdb.connect()
-    for name in ["documents", "embeddings", "events",
-                 "orders", "customer", "nation", "lineitem"]:
+    for name in ["documents", "embeddings", "events", "orders",
+                 "customer", "nation", "lineitem", "supplier", "part"]:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
                 f"read_parquet('{SF}/{name}.parquet')")
     return con
@@ -1810,3 +1810,51 @@ def test_region_orders_totals(ray_session, ducks):
     total = ducks.sql("SELECT count(*) FROM orders").fetchone()[0]
     assert out["n_orders"].sum() == total
     assert len(out) == 5
+
+
+def test_promo_revenue_paths_match(ray_session):
+    """Broadcast-gather and distributed-join paths of the Q14 analog
+    produce the identical single-row frame."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_promo_revenue)
+    a = q_promo_revenue(SF).to_pandas()
+    b = q_promo_revenue(SF, force_join=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert 0.0 <= a["promo_share_pct"].iloc[0] <= 100.0
+
+
+def test_q5_volume_totals(ray_session, ducks):
+    """Every output nation is real, revenue is positive, and the line
+    count equals the co-located join cardinality."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        Q5_HI, Q5_LO, q_q5_volume)
+    out = q_q5_volume(SF).to_pandas()
+    assert len(out) <= 25 and (out["revenue"] > 0).all()
+    total = ducks.sql(f"""
+        SELECT count(*) FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+          AND o.o_orderdate < TIMESTAMP '{Q5_HI}'""").fetchone()[0]
+    assert out["n_lines"].sum() == total
+
+
+def test_moving_avg_matches_pandas_rolling(ray_session, ducks):
+    """The distributed ROWS-frame kernel equals pandas' rolling mean
+    (computed on exact cents) for every user."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_moving_avg)
+    out = q_moving_avg(SF).to_pandas().set_index("event_id")["mov_avg"]
+    ev = ducks.sql(
+        "SELECT event_id, ts, user_id, value FROM events").df()
+    ev["cents"] = np.rint(ev["value"] * 100).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    exp = ev.groupby("user_id", sort=False)["cents"] \
+        .rolling(4, min_periods=1).sum().reset_index(drop=True)
+    nwin = ev.groupby("user_id", sort=False).cumcount().clip(upper=3) + 1
+    want = exp.to_numpy() / (100.0 * nwin.to_numpy())
+    got = out.reindex(ev["event_id"]).to_numpy()
+    assert np.array_equal(got, want)
