@@ -6360,3 +6360,294 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
 })
+
+
+# ---- dup-gram coverage / minutely spikes / Q18 big orders -----------------
+
+DUP_GRAM_W = 3
+
+
+class _GramPairsStage:
+    """(gram, doc_id) distinct-per-doc shingle pairs with the actor
+    vocab cache (the d_decontaminate tokenizer, w-token shingles)."""
+
+    def __init__(self, w: int = DUP_GRAM_W):
+        self.w = w
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, d, _ = T._distinct_shingles(batch, self.w, self.cache)
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "gram": pa.array(h.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[d], pa.int64())})
+
+
+def _dup_gram_block(t: pa.Table) -> pa.Table:
+    """Per-gram df within one gram-partitioned block (complete by the
+    one-block-per-key hash-repartition invariant) folded straight into
+    per-doc (n_grams, n_dup) partials — the pair rows never leave the
+    block."""
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_dup": pa.array([], pa.int64())})
+    g = t.column("gram").to_numpy()
+    doc = t.column("doc_id").to_numpy()
+    _, inv, cnt = np.unique(g, return_inverse=True, return_counts=True)
+    dup = (cnt[inv] >= 2).astype(np.int64)
+    ud, dinv = np.unique(doc, return_inverse=True)
+    return pa.table({
+        "doc_id": pa.array(ud, pa.int64()),
+        "n_grams": pa.array(np.bincount(dinv).astype(np.int64),
+                            pa.int64()),
+        "n_dup": pa.array(np.bincount(dinv, weights=dup)
+                          .astype(np.int64), pa.int64())})
+
+
+def _dup_gram_final(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_grams": pd.Series(dtype=np.int64),
+                             "n_dup": pd.Series(dtype=np.int64),
+                             "dup_coverage": pd.Series(dtype=np.float64)})
+    m = df.groupby("doc_id", sort=False, as_index=False).sum()
+    m["dup_coverage"] = (m["n_dup"].to_numpy().astype(np.float64)
+                         / m["n_grams"].to_numpy().astype(np.float64))
+    return m
+
+
+def q_dup_gram_coverage(sf_dir: str, w: int = DUP_GRAM_W) -> pa.Table:
+    """Boilerplate coverage per document: the fraction of a doc's
+    distinct w-token shingles that occur in >= 2 documents (the
+    fine-grained sibling of exact dedup, the signal behind
+    RefinedWeb-style line dedup).  Shape: distinct (gram, doc) pairs →
+    ONE hash exchange by gram (df computed block-locally, pairs never
+    re-shipped) → bounded (doc × blocks) partials → ONE hash exchange
+    by doc_id for the exact final; one float division at the end."""
+    docs = _docs(sf_dir)
+    pairs = docs.map_batches(_GramPairsStage, fn_constructor_args=(w,),
+                             batch_format="pyarrow", concurrency=(1, 8))
+    nparts = shuffle_width(docs.count())
+    use_hash_shuffle(pairs, nparts)
+    parted = pairs.repartition(num_blocks=nparts, keys=["gram"])
+    partial = parted.map_batches(_dup_gram_block, batch_format="pyarrow",
+                                 batch_size=None)
+    parted2 = partial.repartition(num_blocks=nparts, keys=["doc_id"])
+    out = parted2.map_batches(_dup_gram_final, batch_format="pandas",
+                              batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+SPIKE_Z = 2.0
+
+
+def _minute_partial(batch: pa.Table) -> pa.Table:
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    g = pd.DataFrame({
+        "event_type": batch.column("event_type").to_numpy(
+            zero_copy_only=False),
+        "minute": ts // 60_000_000,
+    }).groupby(["event_type", "minute"], sort=False).size() \
+        .reset_index(name="c")
+    g["c"] = g["c"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_spikes(sf_dir: str, z_min: float = SPIKE_Z) -> pa.Table:
+    """Minutely anomaly detection per event type: flag minutes whose
+    count sits more than z_min population standard deviations above
+    the type's per-observed-minute mean.  All moments come from exact
+    integer sums (n·c − s over sqrt(n·ssq − s²) — one float division
+    per row, bitwise-stable); shape: per-batch (type, minute) count
+    partials → ONE hash exchange by minute (per-block exact merge) →
+    driver holds only types × observed-minutes rows (bounded by the
+    stream's wall-clock span, not its volume)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    part = ds.map_batches(_minute_partial, batch_format="pyarrow")
+    parted = part.repartition(num_blocks=nparts, keys=["minute"])
+
+    def _merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby(["event_type", "minute"], sort=False,
+                          as_index=False)["c"].sum()
+
+    df = collect_df(parted.map_batches(_merge_block,
+                                       batch_format="pandas",
+                                       batch_size=None))
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "minute": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.float64())})
+    df.columns = ["event_type", "minute", "c"]
+    rows = []
+    for etype, grp in df.groupby("event_type", sort=True):
+        c = grp["c"].to_numpy().astype(object)
+        n = int(len(c))
+        s = sum(int(v) for v in c)
+        ssq = sum(int(v) * int(v) for v in c)
+        den2 = n * ssq - s * s
+        if den2 <= 0:
+            continue
+        den = float(den2) ** 0.5
+        cc = grp["c"].to_numpy().astype(np.int64)
+        z = (cc * n - s).astype(np.float64) / den
+        keep = z > z_min
+        rows.append(pd.DataFrame({
+            "event_type": etype,
+            "minute": grp["minute"].to_numpy()[keep],
+            "n_events": cc[keep],
+            "z": z[keep]}))
+    if not rows:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "minute": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.float64())})
+    out = pd.concat(rows, ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+BIG_ORDER_QTY = 200
+
+
+def q_big_orders(sf_dir: str, min_qty: int = BIG_ORDER_QTY) -> pa.Table:
+    """TPC-H-Q18-style large-volume orders: orders whose total line
+    quantity exceeds min_qty, with customer name and order header
+    attached.  Shape: lineitem pre-reduces per batch, ONE hash
+    exchange by orderkey for the exact HAVING filter, and the tiny
+    winner set broadcasts back into key-pruned orders / customer
+    scans — the header attach never joins the fact table."""
+    import ray as _ray
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    nparts = shuffle_width(li.count())
+    use_hash_shuffle(li, nparts)
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "q": np.rint(batch.column("l_quantity").to_numpy())
+            .astype(np.int64),
+        }).groupby("l_orderkey", sort=False)["q"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = li.map_batches(_qty_partial, batch_format="pyarrow")
+    parted = part.repartition(num_blocks=nparts, keys=["l_orderkey"])
+
+    def _having_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        m = df.groupby("l_orderkey", sort=False, as_index=False)["q"] \
+            .sum()
+        return m[m["q"] > min_qty]
+
+    win = collect_df(parted.map_batches(_having_block,
+                                        batch_format="pandas",
+                                        batch_size=None))
+    if win.empty:
+        return pa.table({
+            "c_name": pa.array([], pa.string()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.int64())})
+    win.columns = ["l_orderkey", "q"]
+    wkeys = np.sort(win["l_orderkey"].to_numpy())
+    qty = dict(zip(win["l_orderkey"].to_numpy(), win["q"].to_numpy()))
+    kref = _ray.put(wkeys)
+
+    class _KeyFilter:
+        def __init__(self, ref, col):
+            self.keys = _ray.get(ref)
+            self.col = col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch.column(self.col).to_numpy()
+            if not len(self.keys):
+                return batch.slice(0, 0)
+            pos = np.searchsorted(self.keys, k)
+            pos[pos == len(self.keys)] = len(self.keys) - 1
+            return batch.filter(pa.array(self.keys[pos] == k))
+
+    od = collect_df(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        _KeyFilter, fn_constructor_args=(kref, "o_orderkey"),
+        batch_format="pyarrow", concurrency=(1, 8)))
+    od.columns = ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]
+    ckeys = np.sort(np.unique(od["o_custkey"].to_numpy()))
+    cref = _ray.put(ckeys)
+    cd = collect_df(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"]).map_batches(
+        _KeyFilter, fn_constructor_args=(cref, "c_custkey"),
+        batch_format="pyarrow", concurrency=(1, 8)))
+    cd.columns = ["c_custkey", "c_name"]
+    names = dict(zip(cd["c_custkey"].to_numpy(), cd["c_name"]))
+    out = pd.DataFrame({
+        "c_name": [names[int(k)] for k in od["o_custkey"]],
+        "o_custkey": od["o_custkey"].to_numpy().astype(np.int64),
+        "o_orderkey": od["o_orderkey"].to_numpy().astype(np.int64),
+        "o_orderdate": od["o_orderdate"],
+        "o_totalprice": od["o_totalprice"].to_numpy(),
+        "total_qty": np.array([int(qty[int(k)])
+                               for k in od["o_orderkey"]], np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({
+    "d_dup_gram_coverage": q_dup_gram_coverage,
+    "g_spikes": q_spikes,
+    "h_big_orders": q_big_orders,
+})
+EXTRA_ORACLE_SQL.update({
+    "d_dup_gram_coverage": f"""
+WITH {_shingle_cte_sql(DUP_GRAM_W).strip()},
+pairs AS (
+  SELECT doc_id, unnest(list_distinct(s)) AS gram FROM sh),
+df AS (SELECT gram, count(*) AS dfc FROM pairs GROUP BY gram)
+SELECT p.doc_id, count(*) AS n_grams,
+  CAST(sum(CASE WHEN d.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup,
+  CAST(sum(CASE WHEN d.dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_coverage
+FROM pairs p JOIN df d USING (gram)
+GROUP BY 1""",
+    "g_spikes": f"""
+WITH m AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute,
+    count(*) AS c
+  FROM events GROUP BY 1, 2),
+mo AS (
+  SELECT event_type, count(*) AS n,
+    sum(CAST(c AS HUGEINT)) AS s,
+    sum(CAST(c * c AS HUGEINT)) AS ssq
+  FROM m GROUP BY 1)
+SELECT m.event_type, m.minute, m.c AS n_events,
+  CAST(m.c * mo.n - mo.s AS DOUBLE)
+    / sqrt(CAST(mo.n * mo.ssq - mo.s * mo.s AS DOUBLE)) AS z
+FROM m JOIN mo USING (event_type)
+WHERE mo.n * mo.ssq - mo.s * mo.s > 0
+  AND CAST(m.c * mo.n - mo.s AS DOUBLE)
+    / sqrt(CAST(mo.n * mo.ssq - mo.s * mo.s AS DOUBLE)) > {SPIKE_Z}""",
+    "h_big_orders": f"""
+WITH lq AS (
+  SELECT l_orderkey,
+    sum(CAST(round(l_quantity) AS BIGINT)) AS tq
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {BIG_ORDER_QTY})
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+  o.o_totalprice, CAST(lq.tq AS BIGINT) AS total_qty
+FROM lq
+JOIN orders o ON o.o_orderkey = lq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey""",
+})

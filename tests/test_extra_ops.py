@@ -1858,3 +1858,57 @@ def test_moving_avg_matches_pandas_rolling(ray_session, ducks):
     want = exp.to_numpy() / (100.0 * nwin.to_numpy())
     got = out.reindex(ev["event_id"]).to_numpy()
     assert np.array_equal(got, want)
+
+
+def test_dup_gram_coverage_bounds_and_exact_dups(ray_session, ducks):
+    """Coverage is a valid fraction, and exact-duplicate documents
+    (normalized text shared with another doc) have coverage 1.0 —
+    every one of their shingles occurs in >= 2 docs."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_dup_gram_coverage)
+    out = q_dup_gram_coverage(SF).to_pandas()
+    assert ((out["dup_coverage"] >= 0) & (out["dup_coverage"] <= 1)).all()
+    assert (out["n_dup"] <= out["n_grams"]).all()
+    dups = ducks.sql("""
+        WITH n AS (SELECT doc_id,
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tn
+          FROM documents)
+        SELECT doc_id FROM n
+        WHERE tn IN (SELECT tn FROM n GROUP BY tn HAVING count(*) > 1)
+        """).df()["doc_id"]
+    if len(dups):
+        sub = out.set_index("doc_id").loc[dups, "dup_coverage"]
+        assert (sub == 1.0).all()
+
+
+def test_spikes_above_mean(ray_session, ducks):
+    """Every flagged minute's count strictly exceeds its type's mean
+    count over observed minutes (z > 2 implies above mean)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_spikes)
+    out = q_spikes(SF).to_pandas()
+    means = ducks.sql("""
+        WITH m AS (SELECT event_type,
+            CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute,
+            count(*) AS c FROM events GROUP BY 1, 2)
+        SELECT event_type, avg(c) AS mu FROM m GROUP BY 1""").df() \
+        .set_index("event_type")["mu"]
+    assert (out["z"] > 2.0).all()
+    for _, r in out.iterrows():
+        assert r["n_events"] > means[r["event_type"]]
+
+
+def test_big_orders_matches_direct_having(ray_session, ducks):
+    """The distributed HAVING filter returns exactly the orders DuckDB
+    finds, with correct totals."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        BIG_ORDER_QTY, q_big_orders)
+    out = q_big_orders(SF).to_pandas()
+    want = ducks.sql(f"""
+        SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS tq
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {BIG_ORDER_QTY}
+        """).df().set_index("l_orderkey")["tq"]
+    assert set(out["o_orderkey"]) == set(want.index)
+    got = out.set_index("o_orderkey")["total_qty"]
+    assert (got.sort_index() == want.sort_index()).all()
