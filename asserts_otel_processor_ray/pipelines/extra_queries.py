@@ -1884,15 +1884,19 @@ WHERE rn <= {k}"""
 
 def _ngram_jaccard_sql(w: int = D.NGRAM_W,
                        threshold: float = D.NGRAM_THRESHOLD,
-                       max_df: int = D.NGRAM_MAX_DF) -> str:
+                       max_df: int = D.NGRAM_MAX_DF,
+                       metric: str = "jaccard") -> str:
     """SQL mirror of dedup.ngram_jaccard_distributed: codepoint rolling
     polynomial over char w-grams of trim(lower(text)), distinct per
-    doc, df-capped inverted-index pair counts, jaccard with FULL
-    distinct-gram union sizes."""
+    doc, df-capped inverted-index pair counts, scored as jaccard
+    (inter/union over FULL distinct-gram sizes) or containment
+    (inter/min size)."""
     p = 2305843009213693951
     win = "c[i]"
     for j in range(1, w):
         win = f"(({win}) * 1000003 + c[i+{j}]) % {p}"
+    den = ("CAST(least(sa, sb) AS DOUBLE)" if metric == "containment"
+           else "CAST(sa + sb - inter AS DOUBLE)")
     return f"""
 WITH s AS (
   SELECT doc_id, trim(lower(text)) AS st FROM documents
@@ -1920,9 +1924,9 @@ p AS (
   FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4)
 SELECT doc_a, doc_b,
-  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+  CAST(inter AS DOUBLE) / {den} AS {metric}
 FROM p
-WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
+WHERE CAST(inter AS DOUBLE) / {den}
       >= {threshold}"""
 
 
@@ -6651,3 +6655,23 @@ FROM lq
 JOIN orders o ON o.o_orderkey = lq.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey""",
 })
+
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def q_containment_pairs(sf_dir: str) -> pa.Table:
+    """Asymmetric near-subset pairs (quote/boilerplate-containment
+    detection): char-5-gram containment |A∩B| / min(|A|,|B|) over the
+    SAME df-capped inverted-index shuffle as d_ngram_jaccard — only
+    the final per-pair score kernel differs, so the shuffle discipline
+    (grams move, documents never do) carries over unchanged."""
+    pairs = D.ngram_jaccard_distributed(
+        _docs(sf_dir), threshold=CONTAIN_THRESHOLD, metric="containment")
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_containment_pairs": q_containment_pairs})
+EXTRA_ORACLE_SQL.update({
+    "d_containment_pairs": _ngram_jaccard_sql(
+        threshold=CONTAIN_THRESHOLD, metric="containment")})

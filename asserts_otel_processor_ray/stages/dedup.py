@@ -524,16 +524,17 @@ def _ngram_pack_pk(t: pa.Table) -> pa.Table:
     })
 
 
-def _ngram_reduce_block(df: pd.DataFrame,
-                        threshold: float) -> pd.DataFrame:
+def _ngram_reduce_block(df: pd.DataFrame, threshold: float,
+                        metric: str = "jaccard") -> pd.DataFrame:
     """Per-block (hash-partitioned by pk) final: sum each pair's gram
-    co-occurrences, compute jaccard against the riding union sizes,
-    keep near-dups; marker rows (pk < 0) fold into one skipped-gram
-    count row."""
+    co-occurrences, score against the riding sizes — ``jaccard``
+    (inter/union) or ``containment`` (inter/min size: the asymmetric
+    near-subset/quote signal) — keep near-dups; marker rows (pk < 0)
+    fold into one skipped-gram count row."""
     empty = pd.DataFrame({
         "doc_a": pd.Series(dtype=np.int64),
         "doc_b": pd.Series(dtype=np.int64),
-        "jaccard": pd.Series(dtype=float),
+        metric: pd.Series(dtype=float),
         "skipped_grams": pd.Series(dtype=np.int64)})
     if df.empty:
         return empty
@@ -546,20 +547,24 @@ def _ngram_reduce_block(df: pd.DataFrame,
              .agg(sa=("sa", "min"), sb=("sb", "min"),
                   inter=("inter", "sum")).reset_index())
         inter = g["inter"].to_numpy().astype(np.int64)
-        union = (g["sa"].to_numpy() + g["sb"].to_numpy()
-                 - inter).astype(np.float64)
-        jac = inter / union
+        if metric == "containment":
+            den = np.minimum(g["sa"].to_numpy(),
+                             g["sb"].to_numpy()).astype(np.float64)
+        else:
+            den = (g["sa"].to_numpy() + g["sb"].to_numpy()
+                   - inter).astype(np.float64)
+        jac = inter / den
         keep = jac >= threshold
         if keep.any():
             pk = g["pk"].to_numpy()[keep]
             out.append(pd.DataFrame({
                 "doc_a": pk // _PK_BASE, "doc_b": pk % _PK_BASE,
-                "jaccard": jac[keep],
+                metric: jac[keep],
                 "skipped_grams": np.zeros(int(keep.sum()), np.int64)}))
     if n_skipped:
         out.append(pd.DataFrame({
             "doc_a": [np.int64(-1)], "doc_b": [np.int64(-1)],
-            "jaccard": [0.0], "skipped_grams": [np.int64(n_skipped)]}))
+            metric: [0.0], "skipped_grams": [np.int64(n_skipped)]}))
     if not out:
         return empty
     return pd.concat(out, ignore_index=True)
@@ -568,7 +573,8 @@ def _ngram_reduce_block(df: pd.DataFrame,
 def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
                               threshold: float = NGRAM_THRESHOLD,
                               max_df: int = NGRAM_MAX_DF,
-                              num_partitions: int | None = None
+                              num_partitions: int | None = None,
+                              metric: str = "jaccard"
                               ) -> pd.DataFrame:
     """Exact char-n-gram Jaccard near-dup pairs via the inverted-index
     shuffle: batch → distinct (doc, gram, size) long rows → hash
@@ -606,7 +612,7 @@ def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
     by_pair = packed.repartition(num_blocks=max(8, num_partitions // 2),
                                  keys=["pk"])
     reduced = by_pair.map_batches(
-        lambda d: _ngram_reduce_block(d, threshold),
+        lambda d: _ngram_reduce_block(d, threshold, metric),
         batch_format="pandas", batch_size=None)
 
     df = collect_df(reduced)
@@ -621,7 +627,10 @@ def ngram_jaccard_distributed(docs, w: int = NGRAM_W,
         df = df[~skip]
     df = df.drop(columns=["skipped_grams"], errors="ignore")
     if df.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
+        e = dict(_EMPTY_PAIRS)
+        if metric != "jaccard":
+            e[metric] = e.pop("jaccard")
+        return pd.DataFrame(e)
     return (df.sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True))
 

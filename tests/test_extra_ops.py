@@ -1912,3 +1912,20 @@ def test_big_orders_matches_direct_having(ray_session, ducks):
     assert set(out["o_orderkey"]) == set(want.index)
     got = out.set_index("o_orderkey")["total_qty"]
     assert (got.sort_index() == want.sort_index()).all()
+
+
+def test_containment_dominates_jaccard(ray_session):
+    """Containment >= jaccard for every pair both metrics emit (the
+    min-size denominator can only grow the score), and every emitted
+    jaccard pair reappears in the containment set at a lower-or-equal
+    threshold."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_containment_pairs, q_ngram_jaccard)
+    c = q_containment_pairs(SF).to_pandas().set_index(
+        ["doc_a", "doc_b"])["containment"]
+    j = q_ngram_jaccard(SF).to_pandas().set_index(
+        ["doc_a", "doc_b"])["jaccard"]
+    assert ((c >= 0.6) & (c <= 1.0 + 1e-12)).all()
+    shared = c.index.intersection(j.index)
+    assert (c[shared] >= j[shared] - 1e-12).all()
+    assert set(j[j >= 0.6].index) <= set(c.index)
