@@ -6675,3 +6675,89 @@ EXTRA_QUERIES.update({"d_containment_pairs": q_containment_pairs})
 EXTRA_ORACLE_SQL.update({
     "d_containment_pairs": _ngram_jaccard_sql(
         threshold=CONTAIN_THRESHOLD, metric="containment")})
+
+
+RANGE_JOIN_WINDOW_S = 1800
+
+
+def _range_join_block(t: pa.Table, window_us: int) -> pa.Table:
+    """Per-user-partitioned block kernel for the interval join: for
+    each purchase, count and sum the same user's clicks in the
+    preceding window via two searchsorted cuts over the user's
+    time-sorted click rows — no pair materialization, O(n log n)."""
+    if t.num_rows == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "n_clicks": pa.array([], pa.int64()),
+                         "click_value_sum": pa.array([], pa.float64())})
+    uid = t.column("user_id").to_numpy()
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    et = np.asarray(t.column("event_type").to_numpy(
+        zero_copy_only=False))
+    eid = t.column("event_id").to_numpy()
+    cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+    # pack (user, ts) into one sortable key stream per class
+    order = np.lexsort((ts, uid))
+    uid, ts, et, eid, cents = (uid[order], ts[order], et[order],
+                               eid[order], cents[order])
+    is_c = et == "click"
+    is_p = et == "purchase"
+    cu, ct, cc = uid[is_c], ts[is_c], cents[is_c]
+    ccs = np.cumsum(cc)
+    pu, pt, pe = uid[is_p], ts[is_p], eid[is_p]
+    # clicks of user u live in cu's contiguous run; searchsorted on the
+    # composite (user, ts) ordering via separate cuts per bound
+    lo = np.searchsorted(
+        np.stack([cu, ct], 1).view([("u", cu.dtype), ("t", ct.dtype)])
+        .ravel(),
+        np.stack([pu, pt - window_us], 1)
+        .view([("u", pu.dtype), ("t", pt.dtype)]).ravel())
+    hi = np.searchsorted(
+        np.stack([cu, ct], 1).view([("u", cu.dtype), ("t", ct.dtype)])
+        .ravel(),
+        np.stack([pu, pt], 1)
+        .view([("u", pu.dtype), ("t", pt.dtype)]).ravel())
+    n = (hi - lo).astype(np.int64)
+    csum = np.where(hi > 0, ccs[hi - 1], 0) - np.where(lo > 0, ccs[lo - 1], 0)
+    return pa.table({
+        "event_id": pa.array(pe, pa.int64()),
+        "user_id": pa.array(pu, pa.int64()),
+        "n_clicks": pa.array(n, pa.int64()),
+        "click_value_sum": pa.array(csum.astype(np.float64) / 100.0,
+                                    pa.float64())})
+
+
+def q_range_join(sf_dir: str,
+                 window_s: int = RANGE_JOIN_WINDOW_S) -> pa.Table:
+    """Interval (range) join: for every purchase, the count and value
+    sum of the same user's clicks in the preceding 30 minutes
+    (half-open window, click strictly before the purchase).  Shape:
+    ONE hash exchange by user_id, then a per-block two-searchsorted
+    kernel over (user, ts)-sorted composite keys — the pair set is
+    never materialized, unlike a SQL range join's quadratic expand;
+    the sum rides exact integer cents with one final division."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    parted = ds.repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(
+        lambda t: _range_join_block(t, window_s * 1_000_000),
+        batch_format="pyarrow", batch_size=None)
+    return pa.Table.from_pandas(collect_df(out), preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_range_join": q_range_join})
+EXTRA_ORACLE_SQL.update({"g_range_join": f"""
+SELECT p.event_id, p.user_id,
+  count(c.event_id) AS n_clicks,
+  CAST(coalesce(sum(CAST(round(c.value * 100) AS BIGINT)), 0)
+       AS DOUBLE) / 100.0 AS click_value_sum
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS
+  AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2"""})

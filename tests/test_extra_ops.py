@@ -1929,3 +1929,24 @@ def test_containment_dominates_jaccard(ray_session):
     shared = c.index.intersection(j.index)
     assert (c[shared] >= j[shared] - 1e-12).all()
     assert set(j[j >= 0.6].index) <= set(c.index)
+
+
+def test_range_join_matches_bruteforce(ray_session, ducks):
+    """The searchsorted interval-join kernel equals a brute-force
+    per-purchase window scan."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        RANGE_JOIN_WINDOW_S, q_range_join)
+    out = q_range_join(SF).to_pandas().set_index("event_id")
+    ev = ducks.sql("SELECT event_id, ts, user_id, event_type, value "
+                   "FROM events").df()
+    ev["tsus"] = ev["ts"].astype("int64")
+    clicks = ev[ev["event_type"] == "click"]
+    w = RANGE_JOIN_WINDOW_S * 1_000_000
+    for _, p in ev[ev["event_type"] == "purchase"].head(200).iterrows():
+        m = clicks[(clicks["user_id"] == p["user_id"])
+                   & (clicks["tsus"] >= p["tsus"] - w)
+                   & (clicks["tsus"] < p["tsus"])]
+        r = out.loc[p["event_id"]]
+        assert r["n_clicks"] == len(m)
+        assert r["click_value_sum"] == np.rint(
+            m["value"] * 100).astype(np.int64).sum() / 100.0
