@@ -6761,3 +6761,77 @@ LEFT JOIN events c
   AND c.ts < p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY 1, 2"""})
+
+
+def q_hub_degree(sf_dir: str) -> pa.Table:
+    """kNN-graph in-degree histogram (hub detection — the vectors many
+    others call a nearest neighbor dominate semantic-dedup clusters
+    and skew graph-based curation): composes the exact kNN edge build
+    with an integer degree rollup; the histogram is |degrees| rows, so
+    only the edge→degree reduce moves data."""
+    edges = q_knn_graph(sf_dir).to_pandas()
+    if edges.empty:
+        return pa.table({"in_degree": pa.array([], pa.int64()),
+                         "n_vectors": pa.array([], pa.int64())})
+    deg = edges.groupby("neighbor_id", sort=False).size()
+    hist = deg.value_counts().sort_index()
+    return pa.table({
+        "in_degree": pa.array(hist.index.to_numpy().astype(np.int64),
+                              pa.int64()),
+        "n_vectors": pa.array(hist.to_numpy().astype(np.int64),
+                              pa.int64())})
+
+
+def q_hourly_heatmap(sf_dir: str) -> pa.Table:
+    """Hour-of-day × event-type activity heatmap: per-batch integer
+    count partials → tiny driver merge (24 × types rows) — the load
+    profile behind capacity planning and time-based sampling."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour = (ts // 3_600_000_000) % 24
+        g = pd.DataFrame({
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "hour": hour,
+        }).groupby(["event_type", "hour"], sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = collect_df(ds.map_batches(_partial, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "hour": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    df.columns = ["event_type", "hour", "n"]
+    m = df.groupby(["event_type", "hour"], sort=True, as_index=False) \
+        .sum().rename(columns={"n": "n_events"})
+    m["n_events"] = m["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"e_hub_degree": q_hub_degree,
+                      "g_hourly_heatmap": q_hourly_heatmap})
+EXTRA_ORACLE_SQL.update({
+    "e_hub_degree": f"""
+WITH c AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+e AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rn
+    FROM c) WHERE rn <= {KNN_GRAPH_K}),
+d AS (SELECT neighbor_id, count(*) AS deg FROM e GROUP BY 1)
+SELECT deg AS in_degree, count(*) AS n_vectors FROM d GROUP BY 1""",
+    "g_hourly_heatmap": """
+SELECT event_type,
+  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+  count(*) AS n_events
+FROM events GROUP BY 1, 2""",
+})

@@ -1950,3 +1950,23 @@ def test_range_join_matches_bruteforce(ray_session, ducks):
         assert r["n_clicks"] == len(m)
         assert r["click_value_sum"] == np.rint(
             m["value"] * 100).astype(np.int64).sum() / 100.0
+
+
+def test_hub_degree_mass_conservation(ray_session):
+    """Σ(in_degree × n_vectors) equals the edge count (every kNN edge
+    lands on exactly one neighbor)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_hub_degree, q_knn_graph)
+    edges = q_knn_graph(SF).to_pandas()
+    hist = q_hub_degree(SF).to_pandas()
+    assert (hist["in_degree"] * hist["n_vectors"]).sum() == len(edges)
+
+
+def test_hourly_heatmap_totals(ray_session, ducks):
+    """Heatmap cells tile the stream: totals match, hours in [0, 24)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_hourly_heatmap)
+    out = q_hourly_heatmap(SF).to_pandas()
+    total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert out["n_events"].sum() == total
+    assert out["hour"].between(0, 23).all()
