@@ -6120,14 +6120,16 @@ def q_promo_revenue(sf_dir: str, force_join: bool = False) -> pa.Table:
                 "du": pa.array(_du_partial_cols(batch, keep),
                                pa.int64())})
 
-        li = ray.data.read_parquet(
+        raw = ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_shipdate", "l_extendedprice",
-                     "l_discount"]).map_batches(
-            _slim, batch_format="pyarrow")
+                     "l_discount"])
+        # width from the RAW read (metadata-only count) — counting the
+        # mapped dataset would execute the slim pass twice
+        nparts = shuffle_width(raw.count())
+        li = raw.map_batches(_slim, batch_format="pyarrow")
         pd_ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                       columns=["p_partkey", "p_type"])
-        nparts = shuffle_width(li.count())
         use_hash_shuffle(li, nparts)
         joined = li.join(pd_ds, join_type="inner",
                          num_partitions=nparts,
@@ -6208,16 +6210,17 @@ def q_q5_volume(sf_dir: str) -> pa.Table:
             "o_custkey": batch.column("o_custkey").filter(
                 pa.array(keep))})
 
-    li = ray.data.read_parquet(
+    raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                 "l_discount"]).map_batches(_li_slim,
-                                            batch_format="pyarrow")
+                 "l_discount"])
+    # width from the RAW read (metadata-only count, no execution)
+    nparts = shuffle_width(raw.count())
+    li = raw.map_batches(_li_slim, batch_format="pyarrow")
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(_o_slim, batch_format="pyarrow")
-    nparts = shuffle_width(li.count())
     use_hash_shuffle(li, nparts)
     joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
