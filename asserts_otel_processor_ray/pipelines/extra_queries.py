@@ -6838,3 +6838,82 @@ SELECT event_type,
   count(*) AS n_events
 FROM events GROUP BY 1, 2""",
 })
+
+
+TURN_DEDUP_K = 50
+
+
+def q_turn_dedup(sf_dir: str, k: int = TURN_DEDUP_K) -> pa.Table:
+    """Boilerplate-turn mining over the TRANSCRIPTS table itself (the
+    north-rule input): the top-k most-repeated turn texts with their
+    occurrence and distinct-conversation counts — repeated greetings /
+    canned tool outputs are the highest-value dedup targets in
+    conversation training data.  Shape: per-batch (text, conv) pair
+    partials → ONE hash exchange by text (each text wholly in one
+    block) → block-local exact counts + per-block top-k → tiny exact
+    driver final."""
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+    path = ensure_transcripts(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "text"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "text": batch.column("text").to_numpy(zero_copy_only=False),
+            "conv_id": batch.column("conv_id").to_numpy(
+                zero_copy_only=False),
+        }).groupby(["text", "conv_id"], sort=False).size() \
+            .reset_index(name="pn")
+        g["pn"] = g["pn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(_pair_partial, batch_format="pyarrow")
+    parted = part.repartition(num_blocks=nparts, keys=["text"])
+
+    def _topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "text": pd.Series(dtype=object),
+                "n_occurrences": pd.Series(dtype=np.int64),
+                "n_convs": pd.Series(dtype=np.int64)})
+        m = df.groupby("text", sort=False).agg(
+            n_occurrences=("pn", "sum"), n_convs=("conv_id", "nunique")
+        ).reset_index()
+        m = m.sort_values(["n_occurrences", "text"],
+                          ascending=[False, True], kind="mergesort")
+        for c in ("n_occurrences", "n_convs"):
+            m[c] = m[c].astype(np.int64)
+        return m.head(k)
+
+    df = collect_df(parted.map_batches(_topk_block,
+                                       batch_format="pandas",
+                                       batch_size=None))
+    if df.empty:
+        return pa.table({"text": pa.array([], pa.string()),
+                         "n_occurrences": pa.array([], pa.int64()),
+                         "n_convs": pa.array([], pa.int64())})
+    df.columns = ["text", "n_occurrences", "n_convs"]
+    df = df.sort_values(["n_occurrences", "text"],
+                        ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _turn_dedup_sql() -> str:
+    from asserts_otel_processor_ray.sources.synthetic import (
+        transcripts_dir)
+    path = transcripts_dir("/root/testdata/sf0.01")
+    return f"""
+WITH t AS (
+  SELECT text, count(*) AS n_occurrences,
+    count(DISTINCT conv_id) AS n_convs
+  FROM read_parquet('{path}/*.parquet') GROUP BY text)
+SELECT text, n_occurrences, n_convs FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, text) AS rn
+  FROM t) WHERE rn <= {TURN_DEDUP_K}"""
+
+
+EXTRA_QUERIES.update({"d_turn_dedup": q_turn_dedup})
+EXTRA_ORACLE_SQL.update({"d_turn_dedup": _turn_dedup_sql()})

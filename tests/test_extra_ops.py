@@ -1970,3 +1970,27 @@ def test_hourly_heatmap_totals(ray_session, ducks):
     total = ducks.sql("SELECT count(*) FROM events").fetchone()[0]
     assert out["n_events"].sum() == total
     assert out["hour"].between(0, 23).all()
+
+
+def test_turn_dedup_matches_duckdb(ray_session):
+    """Top-k repeated turns equal DuckDB's over the sf0.001 transcript
+    fixture (the oracle registered with the driver is pinned to the
+    sf0.01 path, so pytest checks the parametric path here)."""
+    import duckdb
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        TURN_DEDUP_K, q_turn_dedup)
+    from asserts_otel_processor_ray.sources.synthetic import (
+        ensure_transcripts)
+    out = q_turn_dedup(SF).to_pandas()
+    path = ensure_transcripts(SF)
+    want = duckdb.sql(f"""
+        WITH t AS (SELECT text, count(*) AS n_occurrences,
+            count(DISTINCT conv_id) AS n_convs
+          FROM read_parquet('{path}/*.parquet') GROUP BY text)
+        SELECT text, n_occurrences, n_convs FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY n_occurrences DESC, text) AS rn
+          FROM t) WHERE rn <= {TURN_DEDUP_K}""").df()
+    for c in ("n_occurrences", "n_convs"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
