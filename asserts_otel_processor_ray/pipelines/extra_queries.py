@@ -6917,3 +6917,47 @@ SELECT text, n_occurrences, n_convs FROM (
 
 EXTRA_QUERIES.update({"d_turn_dedup": q_turn_dedup})
 EXTRA_ORACLE_SQL.update({"d_turn_dedup": _turn_dedup_sql()})
+
+
+PREFIX_DUP_LEN = 64
+
+
+def q_prefix_dup(sf_dir: str, k: int = PREFIX_DUP_LEN) -> pa.Table:
+    """Prefix-duplicate groups: documents sharing the same first-k
+    normalized characters (truncation / re-crawl / near-copy families
+    that exact dedup misses when tails differ).  Shape: per-batch
+    Arrow partial (prefix, min doc, count) → distributed
+    groupby(prefix) Min/Sum final → HAVING >= 2; the driver only ever
+    holds the duplicated groups."""
+    from ray.data.aggregate import Min, Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        norm = T.normalize_expr(batch.column("text"))
+        pre = pa.compute.utf8_slice_codeunits(norm, 0, k)
+        t = pa.table({"prefix": pre, "doc_id": batch.column("doc_id")})
+        gb = t.group_by(["prefix"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")])
+        return gb.rename_columns(["prefix", "doc_id", "pn"])
+
+    part = _docs(sf_dir).map_batches(_partial, batch_format="pyarrow")
+    agg = part.groupby("prefix").aggregate(Min("doc_id"), Sum("pn"))
+    df = collect_df(agg)
+    if df.empty:
+        return pa.table({"prefix": pa.array([], pa.string()),
+                         "rep_doc_id": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    df.columns = ["prefix", "rep_doc_id", "n_docs"]
+    df = df[df["n_docs"] >= 2].reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"d_prefix_dup": q_prefix_dup})
+EXTRA_ORACLE_SQL.update({"d_prefix_dup": f"""
+WITH p AS (
+  SELECT doc_id,
+    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+           1, {PREFIX_DUP_LEN}) AS prefix
+  FROM documents)
+SELECT prefix, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM p GROUP BY prefix HAVING count(*) >= 2"""})

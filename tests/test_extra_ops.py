@@ -1994,3 +1994,22 @@ def test_turn_dedup_matches_duckdb(ray_session):
     for c in ("n_occurrences", "n_convs"):
         want[c] = want[c].astype(np.int64)
     pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
+
+
+def test_prefix_dup_consistent_with_exact_dedup(ray_session, ducks):
+    """Every exact-duplicate group is contained in some prefix group
+    (same normalized text ⇒ same prefix), and group sizes cover all
+    docs sharing that prefix."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        PREFIX_DUP_LEN, q_prefix_dup)
+    out = q_prefix_dup(SF).to_pandas()
+    assert (out["n_docs"] >= 2).all()
+    want = ducks.sql(f"""
+        WITH p AS (SELECT doc_id,
+            substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   1, {PREFIX_DUP_LEN}) AS prefix
+          FROM documents)
+        SELECT prefix, count(*) AS n FROM p
+        GROUP BY prefix HAVING count(*) >= 2""").df()
+    assert dict(zip(out["prefix"], out["n_docs"])) == dict(
+        zip(want["prefix"], want["n"].astype(np.int64)))
