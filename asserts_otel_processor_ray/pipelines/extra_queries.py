@@ -6961,3 +6961,335 @@ WITH p AS (
   FROM documents)
 SELECT prefix, min(doc_id) AS rep_doc_id, count(*) AS n_docs
 FROM p GROUP BY prefix HAVING count(*) >= 2"""})
+
+
+# ---- Q6 scan, Q10 returned-top, Gram-matrix scan, per-user argmax ----------
+
+Q6_LO = "1997-01-01 00:00:00"
+Q6_HI = "1998-01-01 00:00:00"
+_Q6_LO_US = int(pd.Timestamp(Q6_LO).value // 1000)
+_Q6_HI_US = int(pd.Timestamp(Q6_HI).value // 1000)
+
+
+def q_q6_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-style forecasting-revenue scan: one pruned streaming
+    pass over lineitem, per-batch exact integer partials (revenue
+    units = price-cents × discount-cents, 1e-4 dollars), a two-number
+    driver add — zero exchange, zero joins.  Reference parity: the
+    scan+add shape of every counter in assertsprocessor
+    metric_helper.go:34-89, tightened to order-independent ints."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        dc = np.rint(batch.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy()
+        keep = ((ship >= _Q6_LO_US) & (ship < _Q6_HI_US)
+                & (dc >= 5) & (dc <= 7) & (qty < 24))
+        pc_ = np.rint(batch.column("l_extendedprice").to_numpy()[keep]
+                      * 100).astype(np.int64)
+        du = pc_ * dc[keep]
+        return pa.table({"du": pa.array([int(du.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    df = collect_df(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow"))
+    du = sum(int(v) for v in df.iloc[:, 0]) if not df.empty else 0
+    n = int(df.iloc[:, 1].sum()) if not df.empty else 0
+    return pa.table({
+        "revenue": pa.array([float(du) / 10000.0], pa.float64()),
+        "n_lines": pa.array([n], pa.int64())})
+
+
+Q10_LO = "1997-01-01 00:00:00"
+Q10_HI = "1997-07-01 00:00:00"
+_Q10_LO_US = int(pd.Timestamp(Q10_LO).value // 1000)
+_Q10_HI_US = int(pd.Timestamp(Q10_HI).value // 1000)
+Q10_K = 20
+
+
+def q_returned_top(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-style returned-item report: revenue lost to returns
+    per customer over one order window, exact top-20.  Scale shape:
+    both fact sides slim and pre-reduce BEFORE the single distributed
+    hash join (lineitem R-rows fold to per-batch (orderkey, du, n)
+    partials; orders prune to the window), the joined stream folds to
+    per-batch customer partials, the driver merge holds only
+    customers-with-returns and takes the exact top-20 under
+    (revenue desc, custkey), and the customer/nation dimensions are
+    probed AFTER the reduce for the 20 winners only (predicate-pushed
+    parquet read — never joined against the fact stream)."""
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    nparts = shuffle_width(raw.count())
+
+    def _li(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(batch.column("l_returnflag")
+                          .to_numpy(zero_copy_only=False)) == "R"
+        key = batch.column("l_orderkey").to_numpy()[keep]
+        g = pd.DataFrame({"l_orderkey": key,
+                          "du": _du_partial_cols(batch, keep)}) \
+            .groupby("l_orderkey", sort=False)["du"] \
+            .agg(["sum", "count"]).reset_index()
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(),
+                                   pa.int64()),
+            "du": pa.array(g["sum"].to_numpy(), pa.int64()),
+            "n": pa.array(g["count"].to_numpy().astype(np.int64),
+                          pa.int64())})
+
+    def _o(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = pa.array((od >= _Q10_LO_US) & (od < _Q10_HI_US))
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(keep),
+            "o_custkey": batch.column("o_custkey").filter(keep)})
+
+    li = raw.map_batches(_li, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(_o, batch_format="pyarrow")
+    use_hash_shuffle(li, nparts)
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _cust_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "c_custkey": batch.column("o_custkey").to_numpy(),
+            "du": batch.column("du").to_numpy(),
+            "n": batch.column("n").to_numpy(),
+        }).groupby("c_custkey", sort=False).sum().reset_index()
+        return pa.table({
+            "c_custkey": pa.array(g["c_custkey"].to_numpy(), pa.int64()),
+            "du": pa.array(g["du"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    df = _named(collect_df(joined.map_batches(
+        _cust_partial, batch_format="pyarrow")),
+        ["c_custkey", "du", "n"])
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "n_name": pa.array([], pa.string()),
+        "revenue": pa.array([], pa.float64()),
+        "n_lines": pa.array([], pa.int64())})
+    if df.empty:
+        return empty
+    m = df.groupby("c_custkey", sort=False).agg(
+        du=("du", lambda s: sum(int(v) for v in s)),
+        n_lines=("n", "sum")).reset_index()
+    top = m.sort_values(["du", "c_custkey"], ascending=[False, True],
+                        kind="mergesort").head(Q10_K)
+    winners = [int(k) for k in top["c_custkey"]]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", winners)]).to_pandas()
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey", how="left").merge(
+        nt, left_on="c_nationkey", right_on="n_nationkey", how="left")
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy().astype(
+            np.int64), pa.int64()),
+        "c_name": pa.array(out["c_name"], pa.string()),
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "revenue": pa.array([float(int(v)) / 10000.0
+                             for v in out["du"]], pa.float64()),
+        "n_lines": pa.array(out["n_lines"].to_numpy().astype(np.int64),
+                            pa.int64())})
+
+
+GRAM_SCALE = 10_000
+
+
+def q_gram(sf_dir: str) -> pa.Table:
+    """Quantized Gram-matrix scan (Xᵀ X upper triangle + row count)
+    over the embedding corpus — the one-pass sufficient statistic a
+    PCA / whitening / ridge step needs.  Per-batch int64 matmul over
+    floor-quantized coordinates (floor(v·1e4) is IEEE-identical in
+    numpy and DuckDB — unlike round(), whose half-tie convention
+    differs), then the driver adds dim×dim partials: zero exchange
+    at any corpus size, driver memory O(d²)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = S._matrix(t)
+        q = np.floor(m * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table({
+            "dim_i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+            "dim_j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+            "gram": pa.array(g[iu, ju], pa.int64()),
+            "n": pa.array(np.full(len(iu), t.num_rows, np.int64),
+                          pa.int64())})
+
+    df = _named(collect_df(ds.map_batches(_partial,
+                                          batch_format="pyarrow")),
+                ["dim_i", "dim_j", "gram", "n"])
+    if df.empty:
+        return pa.table({"dim_i": pa.array([], pa.int64()),
+                         "dim_j": pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    out = df.groupby(["dim_i", "dim_j"], sort=True).agg(
+        gram=("gram", lambda s: sum(int(v) for v in s)),
+        n=("n", "sum")).reset_index()
+    return pa.table({
+        "dim_i": pa.array(out["dim_i"].to_numpy().astype(np.int64),
+                          pa.int64()),
+        "dim_j": pa.array(out["dim_j"].to_numpy().astype(np.int64),
+                          pa.int64()),
+        "gram": pa.array([int(v) for v in out["gram"]], pa.int64()),
+        "n": pa.array(out["n"].to_numpy().astype(np.int64), pa.int64())})
+
+
+def _argmax_last(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray,
+                 cents: np.ndarray) -> np.ndarray:
+    """Indices of each user's argmax row under the total order
+    (cents, ts, event_id) — the last row of each user group after one
+    lexsort.  Associative: safe as both the per-batch partial and the
+    per-partition final."""
+    order = np.lexsort((eid, ts, cents, uid))
+    u_s = uid[order]
+    last = np.empty(len(u_s), np.bool_)
+    last[-1] = True
+    last[:-1] = u_s[1:] != u_s[:-1]
+    return order[last]
+
+
+_BEST_EMPTY = pa.table({
+    "user_id": pa.array([], pa.int64()),
+    "event_id": pa.array([], pa.int64()),
+    "ts": pa.array([], pa.timestamp("us")),
+    "best_cents": pa.array([], pa.int64())})
+
+
+def _best_partial(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _BEST_EMPTY
+    uid = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    cents = np.rint(batch.column("value").to_numpy() * 100) \
+        .astype(np.int64)
+    sel = _argmax_last(uid, ts, eid, cents)
+    return pa.table({
+        "user_id": pa.array(uid[sel], pa.int64()),
+        "event_id": pa.array(eid[sel], pa.int64()),
+        "ts": pa.array(ts[sel], pa.int64()).cast(pa.timestamp("us")),
+        "best_cents": pa.array(cents[sel], pa.int64())})
+
+
+def _best_final(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _BEST_EMPTY
+    uid = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    cents = batch.column("best_cents").to_numpy()
+    sel = _argmax_last(uid, ts, eid, cents)
+    return pa.table({
+        "user_id": pa.array(uid[sel], pa.int64()),
+        "event_id": pa.array(eid[sel], pa.int64()),
+        "ts": pa.array(ts[sel], pa.int64()).cast(pa.timestamp("us")),
+        "best_cents": pa.array(cents[sel], pa.int64())})
+
+
+def q_best_event(sf_dir: str) -> pa.Table:
+    """Per-user argmax (each user's single highest-value event,
+    ties → latest ts → largest event_id): per-batch argmax partials
+    (one row per user per batch) → ONE hash repartition by user →
+    block-local final argmax — the distributed
+    row_number()-over-window = 1 without a global sort; the driver
+    holds only the O(users) answer it must return."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    part = ds.map_batches(_best_partial, batch_format="pyarrow")
+    parted = part.repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(_best_final, batch_format="pyarrow",
+                             batch_size=None)
+    df = _named(collect_df(out),
+                ["user_id", "event_id", "ts", "best_cents"])
+    if df.empty:
+        return _BEST_EMPTY
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        _BEST_EMPTY.schema)
+
+
+EXTRA_QUERIES.update({
+    "h_q6_revenue": q_q6_revenue,
+    "h_returned_top": q_returned_top,
+    "e_gram": q_gram,
+    "g_best_event": q_best_event,
+})
+EXTRA_ORACLE_SQL.update({
+    "h_q6_revenue": f"""
+SELECT CAST(sum(CAST(
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+    * CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT))
+  AS DOUBLE) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24""",
+    "h_returned_top": f"""
+WITH f AS (
+  SELECT l_orderkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS du
+  FROM lineitem WHERE l_returnflag = 'R'),
+j AS (
+  SELECT o.o_custkey, f.du
+  FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+    AND o.o_orderdate < TIMESTAMP '{Q10_HI}'),
+g AS (
+  SELECT o_custkey AS c_custkey, sum(CAST(du AS HUGEINT)) AS du,
+    count(*) AS n_lines
+  FROM j GROUP BY 1
+  ORDER BY du DESC, c_custkey LIMIT {Q10_K})
+SELECT g.c_custkey, c.c_name, n.n_name,
+  CAST(g.du AS DOUBLE) / 10000.0 AS revenue, g.n_lines
+FROM g
+JOIN customer c ON g.c_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    "e_gram": f"""
+WITH u AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+         embedding
+  FROM embeddings),
+q AS (
+  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+    CAST(floor(CAST(embedding[dim] AS DOUBLE) * {GRAM_SCALE})
+         AS BIGINT) AS qv
+  FROM u)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+  CAST(sum(CAST(a.qv * b.qv AS HUGEINT)) AS BIGINT) AS gram,
+  count(*) AS n
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+GROUP BY 1, 2""",
+    "g_best_event": """
+SELECT user_id, event_id, ts,
+  CAST(round(value * 100) AS BIGINT) AS best_cents
+FROM (
+  SELECT user_id, event_id, ts, value, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY CAST(round(value * 100) AS BIGINT) DESC, ts DESC,
+             event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1""",
+})

@@ -364,7 +364,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_mixture_sample", "d_cooccur", "g_kmv_distinct",
            "e_knn_graph", "g_rollup", "g_lag_stats", "d_pivot",
            "g_bloom_semi", "g_new_users", "e_dim_stats",
-           "d_term_drift"]
+           "d_term_drift", "h_q6_revenue", "h_returned_top",
+           "e_gram", "g_best_event"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2013,3 +2014,44 @@ def test_prefix_dup_consistent_with_exact_dedup(ray_session, ducks):
         GROUP BY prefix HAVING count(*) >= 2""").df()
     assert dict(zip(out["prefix"], out["n_docs"])) == dict(
         zip(want["prefix"], want["n"].astype(np.int64)))
+
+
+def test_gram_matches_numpy_and_is_batch_invariant(ray_session):
+    """The distributed Gram partials must add to the single-process
+    quantized Xᵀ X regardless of block layout."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        GRAM_SCALE, q_gram)
+    out = q_gram(SF).to_pandas()
+    m = np.array(pq.read_table(f"{SF}/embeddings.parquet")
+                 .column("embedding").to_pylist(), dtype=np.float64)
+    q = np.floor(m * GRAM_SCALE).astype(np.int64)
+    g = q.T @ q
+    iu, ju = np.triu_indices(g.shape[0])
+    want = {(i + 1, j + 1): int(g[i, j]) for i, j in zip(iu, ju)}
+    got = {(int(r.dim_i), int(r.dim_j)): int(r.gram)
+           for r in out.itertuples()}
+    assert got == want
+    assert (out["n"] == m.shape[0]).all()
+
+
+def test_argmax_last_total_order():
+    """Ties on cents fall to the later ts, then the larger event_id —
+    and the kernel is associative (partial-of-partials == whole)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _argmax_last)
+    uid = np.array([7, 7, 7, 9], np.int64)
+    ts = np.array([10, 20, 20, 5], np.int64)
+    eid = np.array([1, 2, 3, 4], np.int64)
+    cents = np.array([50, 50, 50, 1], np.int64)
+    sel = _argmax_last(uid, ts, eid, cents)
+    picked = sorted(zip(uid[sel], eid[sel]))
+    assert picked == [(7, 3), (9, 4)]   # ts tie → larger event_id
+    half1 = _argmax_last(uid[:2], ts[:2], eid[:2], cents[:2])
+    half2 = _argmax_last(uid[2:], ts[2:], eid[2:], cents[2:])
+    muid = np.concatenate([uid[:2][half1], uid[2:][half2]])
+    mts = np.concatenate([ts[:2][half1], ts[2:][half2]])
+    meid = np.concatenate([eid[:2][half1], eid[2:][half2]])
+    mc = np.concatenate([cents[:2][half1], cents[2:][half2]])
+    sel2 = _argmax_last(muid, mts, meid, mc)
+    assert sorted(zip(muid[sel2], meid[sel2])) == picked
