@@ -7293,3 +7293,263 @@ FROM (
   FROM events)
 WHERE rn = 1""",
 })
+
+
+# ---- Q16 distinct suppliers, Q19 disjunctive revenue, label centroids ------
+
+Q16_EXCL_BRAND = "Brand#5"
+Q16_EXCL_TYPE = "PROMO"
+
+
+def q_supp_distinct(sf_dir: str) -> pa.Table:
+    """TPC-H-Q16-style supplier diversity: COUNT(DISTINCT l_suppkey)
+    per surviving (p_brand, p_type, p_size).  Scale shape: the part
+    dimension becomes ONE broadcast int32 group-id array (excluded
+    parts = -1), each lineitem batch dedupes its (gid, suppkey) pairs
+    BEFORE the single hash exchange on suppkey, blocks dedupe + fold
+    to (gid, cnt) partials, and the driver holds only
+    O(brand×type×size) rows — the q_distinct_users shape with a
+    broadcast-encoded composite group key."""
+    import ray as _ray
+    part_t = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_type",
+                                    "p_size"])
+    pk = part_t.column("p_partkey").to_numpy()
+    brand = np.asarray(part_t.column("p_brand")
+                       .to_numpy(zero_copy_only=False))
+    ptype = np.asarray(part_t.column("p_type")
+                       .to_numpy(zero_copy_only=False))
+    size = part_t.column("p_size").to_numpy().astype(np.int64)
+    ub, bi = np.unique(brand, return_inverse=True)
+    ut, ti = np.unique(ptype, return_inverse=True)
+    smax = int(size.max()) + 1 if len(size) else 1
+    gid_of_part = bi * (len(ut) * smax) + ti * smax + size
+    excl = (brand == Q16_EXCL_BRAND) | (ptype == Q16_EXCL_TYPE)
+    gid_of_part[excl] = -1
+    lut = np.full(int(pk.max()) + 1 if len(pk) else 1, -1, np.int64)
+    lut[pk] = gid_of_part
+    ref = _ray.put(lut)
+
+    class _PairPartial:
+        def __init__(self, r):
+            self.lut = _ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gid = self.lut[batch.column("l_partkey").to_numpy()]
+            sk = batch.column("l_suppkey").to_numpy()
+            keep = gid >= 0
+            pairs = np.unique(
+                np.stack([gid[keep], sk[keep]], axis=1), axis=0)
+            return pa.table({
+                "gid": pa.array(pairs[:, 0], pa.int64()),
+                "l_suppkey": pa.array(pairs[:, 1], pa.int64())})
+
+    raw = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_partkey", "l_suppkey"])
+    nparts = shuffle_width(raw.count())
+    use_hash_shuffle(raw, nparts)
+    part = raw.map_batches(_PairPartial, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 8))
+    parted = part.repartition(num_blocks=nparts, keys=["l_suppkey"])
+
+    def _cnt_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gid": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        pairs = np.unique(np.stack(
+            [t.column("gid").to_numpy(), t.column("l_suppkey").to_numpy()],
+            axis=1), axis=0)
+        g, c = np.unique(pairs[:, 0], return_counts=True)
+        return pa.table({"gid": pa.array(g, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    df = _named(collect_df(parted.map_batches(
+        _cnt_block, batch_format="pyarrow", batch_size=None)),
+        ["gid", "cnt"])
+    if df.empty:
+        return pa.table({"p_brand": pa.array([], pa.string()),
+                         "p_type": pa.array([], pa.string()),
+                         "p_size": pa.array([], pa.int64()),
+                         "supplier_cnt": pa.array([], pa.int64())})
+    m = df.groupby("gid", sort=True)["cnt"].sum().reset_index()
+    g = m["gid"].to_numpy()
+    return pa.table({
+        "p_brand": pa.array(ub[g // (len(ut) * smax)], pa.string()),
+        "p_type": pa.array(ut[(g // smax) % len(ut)], pa.string()),
+        "p_size": pa.array((g % smax).astype(np.int64), pa.int64()),
+        "supplier_cnt": pa.array(m["cnt"].to_numpy().astype(np.int64),
+                                 pa.int64())})
+
+
+# (brand, max size, qty lo, qty hi) — the three Q19-style branches
+Q19_BRANCHES = (("Brand#1", 5, 1, 11), ("Brand#12", 10, 10, 20),
+                ("Brand#23", 15, 20, 30))
+
+
+def q_q19_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-style disjunctive-predicate revenue: three
+    (brand, size-range, quantity-range) OR-branches evaluated as
+    vectorized masks against TWO broadcast part arrays (brand index +
+    size by partkey) inside one streaming lineitem pass; per-batch
+    exact integer partials, two-number driver add — zero exchange."""
+    import ray as _ray
+    part_t = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    pk = part_t.column("p_partkey").to_numpy()
+    brand = np.asarray(part_t.column("p_brand")
+                       .to_numpy(zero_copy_only=False))
+    size = part_t.column("p_size").to_numpy().astype(np.int64)
+    nmax = int(pk.max()) + 1 if len(pk) else 1
+    bidx = np.full(nmax, -1, np.int64)   # branch id by partkey, -1=none
+    szs = np.zeros(nmax, np.int64)
+    szs[pk] = size
+    for i, (b, smax, _, _) in enumerate(Q19_BRANCHES):
+        hit = (brand == b) & (size >= 1) & (size <= smax)
+        bidx[pk[hit]] = i
+    ref = _ray.put(np.stack([bidx, szs]))
+
+    qlo = np.array([b[2] for b in Q19_BRANCHES], np.float64)
+    qhi = np.array([b[3] for b in Q19_BRANCHES], np.float64)
+
+    class _Q19Partial:
+        def __init__(self, r):
+            self.bidx = _ray.get(r)[0]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bi = self.bidx[batch.column("l_partkey").to_numpy()]
+            qty = batch.column("l_quantity").to_numpy()
+            ok = bi >= 0
+            sel = np.where(ok)[0]
+            b = bi[sel]
+            keep = np.zeros(batch.num_rows, np.bool_)
+            keep[sel] = (qty[sel] >= qlo[b]) & (qty[sel] <= qhi[b])
+            du = _du_partial_cols(batch, keep)
+            return pa.table({
+                "du": pa.array([int(du.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64())})
+
+    df = collect_df(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(_Q19Partial, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=(1, 8)))
+    du = sum(int(v) for v in df.iloc[:, 0]) if not df.empty else 0
+    n = int(df.iloc[:, 1].sum()) if not df.empty else 0
+    return pa.table({
+        "revenue": pa.array([float(du) / 10000.0], pa.float64()),
+        "n_lines": pa.array([n], pa.int64())})
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Class-separation audit: cosine similarity between per-label
+    centroid directions, over floor-quantized coordinate SUMS (exact
+    integers — order-independent across the distributed scan; one
+    deterministic float divide/sqrt at the end).  Per-batch partials
+    are O(labels × dims) regardless of batch size; the driver reduce
+    is O(labels² ) — zero exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = S._matrix(t)
+        q = np.floor(m * GRAM_SCALE).astype(np.int64)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, inv, q)
+        li = np.repeat(ul, d)
+        di = np.tile(np.arange(1, d + 1, dtype=np.int64), len(ul))
+        return pa.table({"label": pa.array(li, pa.int64()),
+                         "dim": pa.array(di, pa.int64()),
+                         "qsum": pa.array(sums.ravel(), pa.int64())})
+
+    df = _named(collect_df(ds.map_batches(_partial,
+                                          batch_format="pyarrow")),
+                ["label", "dim", "qsum"])
+    empty = pa.table({"label_a": pa.array([], pa.int64()),
+                      "label_b": pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
+    if df.empty:
+        return empty
+    s = df.groupby(["label", "dim"], sort=True)["qsum"] \
+        .agg(lambda v: sum(int(x) for x in v)).reset_index()
+    labels = sorted(int(x) for x in s["label"].unique())
+    vecs = {l: [int(v) for v in
+                s[s["label"] == l].sort_values("dim")["qsum"]]
+            for l in labels}
+    import math
+    la, lb, cs = [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = sum(x * x for x in vecs[a])
+            nb = sum(y * y for y in vecs[b])
+            la.append(a)
+            lb.append(b)
+            cs.append(float(dot)
+                      / (math.sqrt(float(na)) * math.sqrt(float(nb))))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb, pa.int64()),
+                     "cos_sim": pa.array(cs, pa.float64())})
+
+
+EXTRA_QUERIES.update({
+    "h_supp_distinct": q_supp_distinct,
+    "h_q19_revenue": q_q19_revenue,
+    "e_label_centroids": q_label_centroids,
+})
+EXTRA_ORACLE_SQL.update({
+    "h_supp_distinct": f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+  count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}' AND p.p_type <> '{Q16_EXCL_TYPE}'
+GROUP BY 1, 2, 3""",
+    "h_q19_revenue": f"""
+WITH f AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS du
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (p.p_brand = '{Q19_BRANCHES[0][0]}'
+         AND p.p_size BETWEEN 1 AND {Q19_BRANCHES[0][1]}
+         AND l.l_quantity BETWEEN {Q19_BRANCHES[0][2]}
+                               AND {Q19_BRANCHES[0][3]})
+     OR (p.p_brand = '{Q19_BRANCHES[1][0]}'
+         AND p.p_size BETWEEN 1 AND {Q19_BRANCHES[1][1]}
+         AND l.l_quantity BETWEEN {Q19_BRANCHES[1][2]}
+                               AND {Q19_BRANCHES[1][3]})
+     OR (p.p_brand = '{Q19_BRANCHES[2][0]}'
+         AND p.p_size BETWEEN 1 AND {Q19_BRANCHES[2][1]}
+         AND l.l_quantity BETWEEN {Q19_BRANCHES[2][2]}
+                               AND {Q19_BRANCHES[2][3]}))
+SELECT CAST(sum(CAST(du AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM f""",
+    "e_label_centroids": f"""
+WITH u AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
+         embedding
+  FROM embeddings),
+q AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+    CAST(floor(CAST(embedding[dim] AS DOUBLE) * {GRAM_SCALE})
+         AS BIGINT) AS qv
+  FROM u),
+s AS (
+  SELECT label, dim, sum(CAST(qv AS HUGEINT)) AS sv
+  FROM q GROUP BY 1, 2),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    sum(a.sv * b.sv) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2),
+nn AS (SELECT label, sum(sv * sv) AS sq FROM s GROUP BY 1)
+SELECT p.label_a, p.label_b,
+  CAST(p.dot AS DOUBLE)
+    / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+    AS cos_sim
+FROM p
+JOIN nn na ON p.label_a = na.label
+JOIN nn nb ON p.label_b = nb.label"""})

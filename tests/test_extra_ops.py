@@ -365,7 +365,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_knn_graph", "g_rollup", "g_lag_stats", "d_pivot",
            "g_bloom_semi", "g_new_users", "e_dim_stats",
            "d_term_drift", "h_q6_revenue", "h_returned_top",
-           "e_gram", "g_best_event"]
+           "e_gram", "g_best_event", "h_supp_distinct",
+           "h_q19_revenue", "e_label_centroids"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2055,3 +2056,28 @@ def test_argmax_last_total_order():
     mc = np.concatenate([cents[:2][half1], cents[2:][half2]])
     sel2 = _argmax_last(muid, mts, meid, mc)
     assert sorted(zip(muid[sel2], meid[sel2])) == picked
+
+
+def test_label_centroids_match_numpy(ray_session):
+    """The quantized-sum cosine must equal the single-process numpy
+    computation over the same quantization (exact ints end-to-end)."""
+    import math
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        GRAM_SCALE, q_label_centroids)
+    out = q_label_centroids(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["label", "embedding"])
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    lab = t.column("label").to_numpy().astype(np.int64)
+    q = np.floor(m * GRAM_SCALE).astype(np.int64)
+    sums = {int(l): q[lab == l].sum(axis=0, dtype=object)
+            for l in np.unique(lab)}
+    for r in out.itertuples():
+        a, b = sums[int(r.label_a)], sums[int(r.label_b)]
+        dot = int(np.dot(a, b))
+        na = int(np.dot(a, a))
+        nb = int(np.dot(b, b))
+        want = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+        assert r.cos_sim == want
+        assert -1.0 <= r.cos_sim <= 1.0
