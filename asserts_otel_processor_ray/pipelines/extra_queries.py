@@ -7553,3 +7553,241 @@ SELECT p.label_a, p.label_b,
 FROM p
 JOIN nn na ON p.label_a = na.label
 JOIN nn nb ON p.label_b = nb.label"""})
+
+
+# ---- embedding outliers, MinHash recall eval, churned users -----------------
+
+OUTLIER_TAU = -0.05
+
+
+def q_embed_outliers(sf_dir: str) -> pa.Table:
+    """Label-conditional outlier sweep: flag vectors whose cosine to
+    their own label centroid falls below τ — the cheap first-pass
+    mislabel/noise detector before training.  TWO zero-exchange
+    streaming passes: pass 1 reduces per-label quantized coordinate
+    SUMS (exact ints, O(labels×dims) partials); pass 2 broadcasts the
+    label-sum matrix via ray.put and scores every vector with one
+    int64 matmul per batch, emitting only flagged rows.  The single
+    float divide per row is deterministic (IEEE-identical here and in
+    the SQL mirror)."""
+    import ray as _ray
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def _sum_partial(t: pa.Table) -> pa.Table:
+        m = S._matrix(t)
+        q = np.floor(m * GRAM_SCALE).astype(np.int64)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ul)), pa.int64()),
+            "qsum": pa.array(sums.ravel(), pa.int64())})
+
+    sdf = _named(collect_df(ds.map_batches(_sum_partial,
+                                           batch_format="pyarrow")),
+                 ["label", "dim", "qsum"])
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
+    if sdf.empty:
+        return empty
+    agg = sdf.groupby(["label", "dim"], sort=True)["qsum"].sum() \
+        .reset_index()
+    labels = np.sort(agg["label"].unique())
+    d = int(agg["dim"].max()) + 1
+    smat = np.zeros((int(labels.max()) + 1, d), np.int64)
+    for l in labels:
+        smat[int(l)] = agg[agg["label"] == l].sort_values("dim")[
+            "qsum"].to_numpy()
+    # exact-integer sum of squares BEFORE the one float conversion, so
+    # the norm matches the SQL mirror's HUGEINT sum bit-for-bit
+    import math
+    snorm = np.array([math.sqrt(float(sum(int(x) * int(x)
+                                          for x in row)))
+                      for row in smat], np.float64)
+    ref = _ray.put((smat, snorm))
+
+    class _Score:
+        def __init__(self, r):
+            self.smat, self.snorm = _ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = S._matrix(t)
+            q = np.floor(m * GRAM_SCALE).astype(np.int64)
+            lab = t.column("label").to_numpy().astype(np.int64)
+            dots = np.einsum("ij,ij->i", q, self.smat[lab]) \
+                .astype(np.float64)
+            qn = np.sqrt(np.einsum("ij,ij->i", q, q)
+                         .astype(np.float64))
+            cos = dots / (qn * self.snorm[lab])
+            keep = cos < OUTLIER_TAU
+            return pa.table({
+                "vec_id": pa.array(
+                    t.column("vec_id").to_numpy()[keep], pa.int64()),
+                "label": pa.array(lab[keep], pa.int64()),
+                "cos_sim": pa.array(cos[keep], pa.float64())})
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"]) \
+        .map_batches(_Score, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=(1, 8))
+    df = _named(collect_df(out), ["vec_id", "label", "cos_sim"])
+    if df.empty:
+        return empty
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        empty.schema)
+
+
+def q_minhash_recall(sf_dir: str) -> pa.Table:
+    """Index-quality report for the dedup stack: precision/recall of
+    the MinHash-LSH candidate pairs against the exact n-gram-Jaccard
+    pair set (both already distributed queries; the driver merge is
+    over the bounded pair lists).  The oracle composes the two
+    generated SQL mirrors, so the metric itself is byte-checked —
+    same pattern as e_ann_recall."""
+    ex = q_ngram_jaccard(sf_dir).to_pandas()
+    ap = q_minhash_pairs(sf_dir).to_pandas()
+    hit = ex.merge(ap, on=["doc_a", "doc_b"], how="inner")
+    n_true, n_pred, n_hit = len(ex), len(ap), len(hit)
+    return pa.table({
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_pred": pa.array([n_pred], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "precision": pa.array(
+            [float(n_hit) / float(n_pred) if n_pred else 0.0],
+            pa.float64()),
+        "recall": pa.array(
+            [float(n_hit) / float(n_true) if n_true else 0.0],
+            pa.float64())})
+
+
+def _minhash_recall_sql() -> str:
+    exact = EXTRA_ORACLE_SQL["d_ngram_jaccard"].strip()
+    approx = EXTRA_ORACLE_SQL["d_minhash_pairs"].strip()
+    return f"""
+WITH ex AS ({exact}),
+ap AS ({approx}),
+h AS (SELECT count(*) AS n_hit
+      FROM ex JOIN ap ON ex.doc_a = ap.doc_a AND ex.doc_b = ap.doc_b)
+SELECT (SELECT count(*) FROM ex) AS n_true,
+  (SELECT count(*) FROM ap) AS n_pred, h.n_hit,
+  CASE WHEN (SELECT count(*) FROM ap) = 0 THEN 0.0
+       ELSE CAST(h.n_hit AS DOUBLE)
+            / CAST((SELECT count(*) FROM ap) AS DOUBLE) END
+    AS precision,
+  CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0.0
+       ELSE CAST(h.n_hit AS DOUBLE)
+            / CAST((SELECT count(*) FROM ex) AS DOUBLE) END
+    AS recall
+FROM h"""
+
+
+CHURN_SPLIT = "2024-01-30 00:00:00"
+CHURN_END = "2024-01-31 00:00:00"
+_CHURN_SPLIT_US = int(pd.Timestamp(CHURN_SPLIT).value // 1000)
+_CHURN_END_US = int(pd.Timestamp(CHURN_END).value // 1000)
+
+
+def q_churned_users(sf_dir: str) -> pa.Table:
+    """Churn list: users active before the split with zero events in
+    the follow-up window — the time-windowed anti-join every
+    engagement pipeline runs.  Per-batch (user, n_before, n_after)
+    partials → ONE hash exchange on user → block reduce + filter;
+    the driver holds only the churned rows it must return."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        before = (ts < _CHURN_SPLIT_US).astype(np.int64)
+        after = ((ts >= _CHURN_SPLIT_US)
+                 & (ts < _CHURN_END_US)).astype(np.int64)
+        ul, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(ul, pa.int64()),
+            "nb": pa.array(np.bincount(inv, weights=before)
+                           .astype(np.int64), pa.int64()),
+            "na": pa.array(np.bincount(inv, weights=after)
+                           .astype(np.int64), pa.int64())})
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_before": pa.array([], pa.int64())})
+        uid = t.column("user_id").to_numpy()
+        ul, inv = np.unique(uid, return_inverse=True)
+        nb = np.bincount(inv, weights=t.column("nb").to_numpy()) \
+            .astype(np.int64)
+        na = np.bincount(inv, weights=t.column("na").to_numpy()) \
+            .astype(np.int64)
+        keep = (nb > 0) & (na == 0)
+        return pa.table({"user_id": pa.array(ul[keep], pa.int64()),
+                         "n_before": pa.array(nb[keep], pa.int64())})
+
+    parted = ds.map_batches(_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["user_id"])
+    df = _named(collect_df(parted.map_batches(
+        _final, batch_format="pyarrow", batch_size=None)),
+        ["user_id", "n_before"])
+    if df.empty:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_before": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(
+        df.astype({"user_id": np.int64, "n_before": np.int64}),
+        preserve_index=False)
+
+
+EXTRA_QUERIES.update({
+    "e_outliers": q_embed_outliers,
+    "d_minhash_recall": q_minhash_recall,
+    "g_churned_users": q_churned_users,
+})
+EXTRA_ORACLE_SQL.update({
+    "e_outliers": f"""
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+    unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings),
+q AS (
+  SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+    CAST(floor(CAST(embedding[dim] AS DOUBLE) * {GRAM_SCALE})
+         AS BIGINT) AS qv
+  FROM u),
+s AS (
+  SELECT label, dim, sum(CAST(qv AS HUGEINT)) AS sv
+  FROM q GROUP BY 1, 2),
+d AS (
+  SELECT q.vec_id, q.label,
+    sum(q.qv * s.sv) AS dot,
+    sum(CAST(q.qv AS HUGEINT) * q.qv) AS qq
+  FROM q JOIN s ON q.label = s.label AND q.dim = s.dim
+  GROUP BY 1, 2),
+nn AS (SELECT label, sum(sv * sv) AS sq FROM s GROUP BY 1)
+SELECT d.vec_id, d.label,
+  CAST(d.dot AS DOUBLE)
+    / (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(nn.sq AS DOUBLE)))
+    AS cos_sim
+FROM d JOIN nn ON d.label = nn.label
+WHERE CAST(d.dot AS DOUBLE)
+    / (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(nn.sq AS DOUBLE)))
+    < {OUTLIER_TAU}""",
+    "d_minhash_recall": _minhash_recall_sql(),
+    "g_churned_users": f"""
+SELECT user_id, count(*) AS n_before
+FROM events
+WHERE ts < TIMESTAMP '{CHURN_SPLIT}'
+  AND user_id NOT IN (
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '{CHURN_SPLIT}'
+      AND ts < TIMESTAMP '{CHURN_END}')
+GROUP BY user_id""",
+})

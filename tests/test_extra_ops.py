@@ -366,7 +366,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "g_bloom_semi", "g_new_users", "e_dim_stats",
            "d_term_drift", "h_q6_revenue", "h_returned_top",
            "e_gram", "g_best_event", "h_supp_distinct",
-           "h_q19_revenue", "e_label_centroids"]
+           "h_q19_revenue", "e_label_centroids", "e_outliers",
+           "d_minhash_recall", "g_churned_users"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2081,3 +2082,42 @@ def test_label_centroids_match_numpy(ray_session):
         want = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
         assert r.cos_sim == want
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_minhash_recall_bounds_and_hit_consistency(ray_session):
+    """Composed dedup-eval metric: counts reconcile and the LSH
+    candidate set recovers most exact near-dup pairs on this data."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_minhash_recall)
+    r = q_minhash_recall(SF).to_pandas().iloc[0]
+    assert 0 <= r.n_hit <= min(r.n_true, r.n_pred)
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    if r.n_true:
+        assert r.recall >= 0.6
+
+
+def test_outliers_flag_only_low_cosine(ray_session):
+    """Every flagged vector sits strictly below τ, and no unflagged
+    vector does (recomputed single-process)."""
+    import math
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        GRAM_SCALE, OUTLIER_TAU, q_embed_outliers)
+    out = q_embed_outliers(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    lab = t.column("label").to_numpy().astype(np.int64)
+    vid = t.column("vec_id").to_numpy()
+    q = np.floor(m * GRAM_SCALE).astype(np.int64)
+    flagged = set()
+    for l in np.unique(lab):
+        rows = lab == l
+        s = [int(v) for v in q[rows].sum(axis=0)]
+        sn = math.sqrt(float(sum(x * x for x in s)))
+        for i in np.where(rows)[0]:
+            dot = float(int(np.dot(q[i], np.array(s, object))))
+            qn = math.sqrt(float(int(np.dot(q[i], q[i]))))
+            if dot / (qn * sn) < OUTLIER_TAU:
+                flagged.add(int(vid[i]))
+    assert set(out["vec_id"]) == flagged
+    assert (out["cos_sim"] < OUTLIER_TAU).all()
