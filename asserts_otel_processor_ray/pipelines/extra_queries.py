@@ -7791,3 +7791,276 @@ WHERE ts < TIMESTAMP '{CHURN_SPLIT}'
       AND ts < TIMESTAMP '{CHURN_END}')
 GROUP BY user_id""",
 })
+
+
+# ---- Q7 two-nation volume, vocabulary growth, label × text join -----------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+_Q7_LO_US = int(pd.Timestamp("1996-01-01 00:00:00").value // 1000)
+_Q7_MID_US = int(pd.Timestamp("1997-01-01 00:00:00").value // 1000)
+_Q7_HI_US = int(pd.Timestamp("1998-01-01 00:00:00").value // 1000)
+
+
+def q_q7_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H-Q7-style volume shipping between two nations by ship
+    year: the lineitem side slims to (orderkey, suppkey, year, du)
+    partials for the two-year window BEFORE the single distributed
+    hash join against pruned orders; supplier→nation and
+    customer→nation are broadcast int gathers (budget-checked like
+    h_q5_volume), the pair filter keeps only the two directed
+    nation pairs, and the rollup is a 4-group driver merge."""
+    import ray as _ray
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    names = dict(zip(nt.column("n_nationkey").to_numpy(),
+                     nt.column("n_name").to_numpy(zero_copy_only=False)))
+    keys = {v: k for k, v in names.items()}
+    na, nb = keys[Q7_NATION_A], keys[Q7_NATION_B]
+
+    def _keymap(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+        m = np.full(int(k.max()) + 1 if len(k) else 1, -1, np.int32)
+        m[k] = v.astype(np.int32)
+        return m
+
+    ref = _ray.put((
+        _keymap(ct.column("c_custkey").to_numpy(),
+                ct.column("c_nationkey").to_numpy()),
+        _keymap(st.column("s_suppkey").to_numpy(),
+                st.column("s_nationkey").to_numpy())))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= _Q7_LO_US) & (ship < _Q7_HI_US)
+        year = np.where(ship < _Q7_MID_US, 1996, 1997).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").filter(
+                pa.array(keep)),
+            "l_suppkey": batch.column("l_suppkey").filter(
+                pa.array(keep)),
+            "l_year": pa.array(year[keep], pa.int64()),
+            "du": pa.array(_du_partial_cols(batch, keep), pa.int64())})
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    nparts = shuffle_width(raw.count())
+    li = raw.map_batches(_li, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    use_hash_shuffle(li, nparts)
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class _PairPartial:
+        def __init__(self, r):
+            self.cmap, self.smap = _ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cn = self.cmap[batch.column("o_custkey").to_numpy()]
+            sn = self.smap[batch.column("l_suppkey").to_numpy()]
+            keep = ((sn == na) & (cn == nb)) | ((sn == nb) & (cn == na))
+            g = pd.DataFrame({
+                "sn": sn[keep], "cn": cn[keep],
+                "l_year": batch.column("l_year").to_numpy()[keep],
+                "du": batch.column("du").to_numpy()[keep],
+                "n": 1,
+            }).groupby(["sn", "cn", "l_year"], sort=False).agg(
+                du=("du", "sum"), n=("n", "sum")).reset_index()
+            return pa.table({
+                "sn": pa.array(g["sn"].to_numpy().astype(np.int64),
+                               pa.int64()),
+                "cn": pa.array(g["cn"].to_numpy().astype(np.int64),
+                               pa.int64()),
+                "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
+                "du": pa.array(g["du"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64),
+                              pa.int64())})
+
+    df = _named(collect_df(joined.map_batches(
+        _PairPartial, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 8))),
+        ["sn", "cn", "l_year", "du", "n"])
+    if df.empty:
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64()),
+                         "n_lines": pa.array([], pa.int64())})
+    m = df.groupby(["sn", "cn", "l_year"], sort=True).agg(
+        du=("du", lambda s: sum(int(v) for v in s)),
+        n=("n", "sum")).reset_index()
+    return pa.table({
+        "supp_nation": pa.array([names[int(k)] for k in m["sn"]],
+                                pa.string()),
+        "cust_nation": pa.array([names[int(k)] for k in m["cn"]],
+                                pa.string()),
+        "l_year": pa.array(m["l_year"].to_numpy(), pa.int64()),
+        "revenue": pa.array([float(int(v)) / 10000.0 for v in m["du"]],
+                            pa.float64()),
+        "n_lines": pa.array(m["n"].to_numpy().astype(np.int64),
+                            pa.int64())})
+
+
+VOCAB_BUCKET = 2
+
+
+def q_vocab_growth(sf_dir: str) -> pa.Table:
+    """Vocabulary-growth (Heaps-law) curve for corpus QA: how many
+    NEW tokens each doc_id bucket contributes (token attributed to
+    its minimum doc_id — deterministic under any scan order).
+    Per-batch (token, min doc) partials → distributed
+    groupby(token).Min → per-block bucket histogram partials → tiny
+    driver merge; the driver never holds O(vocab) rows."""
+    from ray.data.aggregate import Min
+    docs = _docs(sf_dir)
+
+    def _first_partial(t: pa.Table) -> pa.Table:
+        toks = T._tokens_series(t.column("text"))
+        ex = toks.explode().dropna()
+        doc = t.column("doc_id").to_numpy()[
+            ex.index.to_numpy(np.int64)]
+        g = pd.DataFrame({"token": ex.to_numpy(), "doc": doc}) \
+            .groupby("token", sort=False)["doc"].min().reset_index()
+        return pa.table({
+            "token": pa.array(g["token"].to_numpy(), pa.string()),
+            "first_doc": pa.array(g["doc"].to_numpy().astype(np.int64),
+                                  pa.int64())})
+
+    agg = docs.map_batches(_first_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Min("first_doc"))
+
+    def _bucket_block(t: pa.Table) -> pa.Table:
+        if t.num_columns != 2 or t.num_rows == 0:
+            return pa.table({"bucket_lo": pa.array([], pa.int64()),
+                             "new_tokens": pa.array([], pa.int64())})
+        fd = t.column(1).to_numpy()
+        b, c = np.unique((fd // VOCAB_BUCKET) * VOCAB_BUCKET,
+                         return_counts=True)
+        return pa.table({
+            "bucket_lo": pa.array(b.astype(np.int64), pa.int64()),
+            "new_tokens": pa.array(c.astype(np.int64), pa.int64())})
+
+    df = _named(collect_df(agg.map_batches(_bucket_block,
+                                           batch_format="pyarrow")),
+                ["bucket_lo", "new_tokens"])
+    if df.empty:
+        return pa.table({"bucket_lo": pa.array([], pa.int64()),
+                         "new_tokens": pa.array([], pa.int64())})
+    m = df.groupby("bucket_lo", sort=True)["new_tokens"].sum() \
+        .reset_index()
+    return pa.table({
+        "bucket_lo": pa.array(m["bucket_lo"].to_numpy().astype(
+            np.int64), pa.int64()),
+        "new_tokens": pa.array(m["new_tokens"].to_numpy().astype(
+            np.int64), pa.int64())})
+
+
+def q_label_text_stats(sf_dir: str) -> pa.Table:
+    """Cross-modal alignment audit: token-count statistics of the
+    TEXT corpus grouped by the EMBEDDING label (documents ⋈
+    embeddings on doc_id = vec_id) — the per-class length check run
+    before training on paired data.  Both sides slim to two columns
+    before ONE distributed hash join; the joined stream folds to
+    per-batch (label, n, sum, max) integer partials."""
+    docs = _docs(sf_dir)
+
+    def _tok(t: pa.Table) -> pa.Table:
+        toks = T._tokens_series(t.column("text"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(
+                toks.str.len().to_numpy().astype(np.int64),
+                pa.int64())})
+
+    nparts = shuffle_width(docs.count())
+    left = docs.map_batches(_tok, batch_format="pyarrow")
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"])
+    use_hash_shuffle(left, nparts)
+    joined = left.join(emb, join_type="inner", num_partitions=nparts,
+                       on=("doc_id",), right_on=("vec_id",))
+
+    def _stats_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "label": t.column("label").to_numpy().astype(np.int64),
+            "n_tokens": t.column("n_tokens").to_numpy(),
+        }).groupby("label", sort=False)["n_tokens"] \
+            .agg(["count", "sum", "max"]).reset_index()
+        return pa.table({
+            "label": pa.array(g["label"].to_numpy(), pa.int64()),
+            "n_docs": pa.array(g["count"].to_numpy().astype(np.int64),
+                               pa.int64()),
+            "total_tokens": pa.array(g["sum"].to_numpy().astype(
+                np.int64), pa.int64()),
+            "max_tokens": pa.array(g["max"].to_numpy().astype(
+                np.int64), pa.int64())})
+
+    df = _named(collect_df(joined.map_batches(
+        _stats_partial, batch_format="pyarrow")),
+        ["label", "n_docs", "total_tokens", "max_tokens"])
+    if df.empty:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "total_tokens": pa.array([], pa.int64()),
+                         "max_tokens": pa.array([], pa.int64())})
+    m = df.groupby("label", sort=True).agg(
+        n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum"),
+        max_tokens=("max_tokens", "max")).reset_index()
+    for c in m.columns:
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+EXTRA_QUERIES.update({
+    "h_q7_shipping": q_q7_shipping,
+    "d_vocab_growth": q_vocab_growth,
+    "e_label_text_stats": q_label_text_stats,
+})
+EXTRA_ORACLE_SQL.update({
+    "h_q7_shipping": f"""
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    CASE WHEN l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         THEN 1996 ELSE 1997 END AS l_year,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS du
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(f.l_year AS BIGINT) AS l_year,
+  CAST(sum(CAST(f.du AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM f
+JOIN orders o ON f.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+   OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3""",
+    "d_vocab_growth": f"""
+WITH lng AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+f AS (SELECT token, min(doc_id) AS first_doc FROM lng GROUP BY token)
+SELECT (first_doc // {VOCAB_BUCKET}) * {VOCAB_BUCKET} AS bucket_lo,
+  count(*) AS new_tokens
+FROM f GROUP BY 1""",
+    "e_label_text_stats": """
+SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_docs,
+  sum(array_length(regexp_split_to_array(trim(lower(d.text)), '\\s+')))
+    AS total_tokens,
+  max(array_length(regexp_split_to_array(trim(lower(d.text)), '\\s+')))
+    AS max_tokens
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1""",
+})

@@ -367,7 +367,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_term_drift", "h_q6_revenue", "h_returned_top",
            "e_gram", "g_best_event", "h_supp_distinct",
            "h_q19_revenue", "e_label_centroids", "e_outliers",
-           "d_minhash_recall", "g_churned_users"]
+           "d_minhash_recall", "g_churned_users", "h_q7_shipping",
+           "d_vocab_growth", "e_label_text_stats"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2121,3 +2122,17 @@ def test_outliers_flag_only_low_cosine(ray_session):
                 flagged.add(int(vid[i]))
     assert set(out["vec_id"]) == flagged
     assert (out["cos_sim"] < OUTLIER_TAU).all()
+
+
+def test_vocab_growth_sums_to_vocab(ray_session, ducks):
+    """Bucket counts must partition the vocabulary: every token is
+    attributed to exactly one first-doc bucket."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_vocab_growth)
+    out = q_vocab_growth(SF).to_pandas()
+    vocab = ducks.sql(r"""SELECT count(DISTINCT token) FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                            '\s+')) AS token
+        FROM documents)""").fetchone()[0]
+    assert int(out["new_tokens"].sum()) == int(vocab)
+    assert (out["new_tokens"] > 0).all()
