@@ -8240,3 +8240,162 @@ SELECT field, n_bad, n_total FROM (
     count(*) FROM documents)""",
     "e_knn_confusion": _knn_confusion_sql(),
 })
+
+
+# ---- grouped top-k rows, Q15 top supplier ----------------------------------
+
+TOP3_K = 3
+
+
+def _top3_kernel(batch: pa.Table, k: int = TOP3_K) -> pa.Table:
+    """Per-user top-k rows under (cents desc, ts desc, event_id desc)
+    — associative (top-k of per-batch top-ks == global top-k), so it
+    serves as both the per-batch partial and the per-partition
+    final.  One lexsort + per-group rank, no Python row loop."""
+    if batch.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "event_id": pa.array([], pa.int64()),
+                         "ts": pa.array([], pa.timestamp("us")),
+                         "cents": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+    uid = batch.column("user_id").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    if "cents" in batch.column_names:
+        cents = batch.column("cents").to_numpy()
+    else:
+        cents = np.rint(batch.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+    order = np.lexsort((-eid, -ts, -cents, uid))
+    u_s = uid[order]
+    first = np.empty(len(u_s), np.bool_)
+    first[0] = True
+    first[1:] = u_s[1:] != u_s[:-1]
+    idx = np.arange(len(u_s), dtype=np.int64)
+    start = np.maximum.accumulate(np.where(first, idx, 0))
+    rnk = idx - start + 1
+    keep = rnk <= k
+    sel = order[keep]
+    return pa.table({
+        "user_id": pa.array(uid[sel], pa.int64()),
+        "event_id": pa.array(eid[sel], pa.int64()),
+        "ts": pa.array(ts[sel], pa.int64()).cast(pa.timestamp("us")),
+        "cents": pa.array(cents[sel], pa.int64()),
+        "rnk": pa.array(rnk[keep], pa.int64())})
+
+
+def q_top3_events(sf_dir: str) -> pa.Table:
+    """Grouped top-K ROWS (each user's 3 highest-value events with
+    their rank) — the generalization of g_best_event from argmax to
+    row_number() <= K: the same associative kernel runs as per-batch
+    partial and, after ONE hash exchange on user, as the block-local
+    final; only K rows per user ever cross the wire."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    parted = ds.map_batches(_top3_kernel, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["user_id"])
+    out = parted.map_batches(_top3_kernel, batch_format="pyarrow",
+                             batch_size=None)
+    df = _named(collect_df(out),
+                ["user_id", "event_id", "ts", "cents", "rnk"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("event_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("cents", pa.int64()),
+                        ("rnk", pa.int64())])
+    if df.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+
+Q15_LO = "1997-01-01 00:00:00"
+Q15_HI = "1997-04-01 00:00:00"
+_Q15_LO_US = int(pd.Timestamp(Q15_LO).value // 1000)
+_Q15_HI_US = int(pd.Timestamp(Q15_HI).value // 1000)
+
+
+def q_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-style top supplier(s): the supplier(s) achieving the
+    MAX quarterly revenue (all of them on ties — exact integers make
+    the tie test sound, unlike Q15's float view).  Per-batch
+    (suppkey, du) partials → ONE keyed exchange + block reduce →
+    per-block (max, candidate rows) → driver final over O(blocks)
+    rows — never O(suppliers)."""
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    nparts = shuffle_width(raw.count())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= _Q15_LO_US) & (ship < _Q15_HI_US)
+        g = pd.DataFrame({
+            "l_suppkey": batch.column("l_suppkey").to_numpy()[keep],
+            "du": _du_partial_cols(batch, keep),
+        }).groupby("l_suppkey", sort=False)["du"].sum().reset_index()
+        return pa.table({
+            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(),
+                                  pa.int64()),
+            "du": pa.array(g["du"].to_numpy(), pa.int64())})
+
+    def _block_max(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                                 "du": pd.Series(dtype=np.int64)})
+        g = df.groupby("l_suppkey", sort=False)["du"].sum() \
+            .reset_index()
+        return g[g["du"] == g["du"].max()]
+
+    use_hash_shuffle(raw, nparts)
+    blocks = _named(collect_df(
+        raw.map_batches(_partial, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=["l_suppkey"])
+        .map_batches(_block_max, batch_format="pandas")),
+        ["l_suppkey", "du"])
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "total_revenue": pa.array([], pa.float64())})
+    if blocks.empty:
+        return empty
+    # suppkeys are partition-disjoint: per-block maxima are exact sums
+    best = max(int(v) for v in blocks["du"])
+    win = blocks[blocks["du"] == best].sort_values("l_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(win["l_suppkey"].to_numpy().astype(
+            np.int64), pa.int64()),
+        "total_revenue": pa.array(
+            [float(int(v)) / 10000.0 for v in win["du"]],
+            pa.float64())})
+
+
+EXTRA_QUERIES.update({
+    "g_top3_events": q_top3_events,
+    "h_top_supplier": q_top_supplier,
+})
+EXTRA_ORACLE_SQL.update({
+    "g_top3_events": f"""
+SELECT user_id, event_id, ts, cents, rnk FROM (
+  SELECT user_id, event_id, ts,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    CAST(row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, ts DESC,
+               event_id DESC) AS BIGINT) AS rnk
+  FROM events)
+WHERE rnk <= {TOP3_K}""",
+    "h_top_supplier": f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             AS HUGEINT)) AS du
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY 1)
+SELECT s_suppkey, CAST(du AS DOUBLE) / 10000.0 AS total_revenue
+FROM r WHERE du = (SELECT max(du) FROM r)""",
+})

@@ -369,7 +369,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "h_q19_revenue", "e_label_centroids", "e_outliers",
            "d_minhash_recall", "g_churned_users", "h_q7_shipping",
            "d_vocab_growth", "e_label_text_stats", "s_hive_roundtrip",
-           "d_field_completeness", "e_knn_confusion"]
+           "d_field_completeness", "e_knn_confusion", "g_top3_events",
+           "h_top_supplier"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2164,3 +2165,26 @@ def test_knn_confusion_mass_matches_heldout(ray_session, ducks):
     ).fetchone()[0]
     assert int(out["n"].sum()) == int(n_held)
     assert (out["n"] > 0).all()
+
+
+def test_top3_kernel_associative_and_ranked():
+    """Grouped top-k kernel: ranks are 1..k per user in the total
+    order, and kernel(kernel(half1)+kernel(half2)) == kernel(whole)."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _top3_kernel)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "ts": pa.array([5, 6, 7, 8, 9], pa.int64()).cast(
+            pa.timestamp("us")),
+        "value": pa.array([1.0, 3.0, 3.0, 2.0, 7.0], pa.float64())})
+    whole = _top3_kernel(t).to_pandas().sort_values(
+        ["user_id", "rnk"]).reset_index(drop=True)
+    # user 1: 3.00 ties → later ts first (event 12 then 11), then 2.00
+    assert list(whole[whole.user_id == 1]["event_id"]) == [12, 11, 13]
+    assert list(whole[whole.user_id == 1]["rnk"]) == [1, 2, 3]
+    h1 = _top3_kernel(t.slice(0, 2))
+    h2 = _top3_kernel(t.slice(2))
+    merged = _top3_kernel(pa.concat_tables([h1, h2])).to_pandas() \
+        .sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, merged)
