@@ -8399,3 +8399,193 @@ WITH r AS (
 SELECT s_suppkey, CAST(du AS DOUBLE) / 10000.0 AS total_revenue
 FROM r WHERE du = (SELECT max(du) FROM r)""",
 })
+
+
+# ---- cohort matrix, cross-source dup families, kNN label purity -----------
+
+_WEEK_US = 604_800_000_000
+
+
+def q_cohort_matrix(sf_dir: str) -> pa.Table:
+    """Full cohort-retention triangle: distinct users per
+    (cohort week = user's first week, active week) cell — the
+    product-analytics matrix g_retention's week+1 scalar summarizes.
+    Per-batch (user, week) dedupe partials → ONE hash exchange on
+    user (each user's full week set lands in one block, so cohort
+    assignment and the cell counts need no second exchange) → tiny
+    driver merge over O(weeks² × blocks) rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+
+    def _uw_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        wk = t.column("ts").cast(pa.int64()).to_numpy() // _WEEK_US
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.table({
+            "user_id": pa.array(pairs[:, 0], pa.int64()),
+            "wk": pa.array(pairs[:, 1], pa.int64())})
+
+    def _cells_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "active_week": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        pairs = np.unique(np.stack(
+            [t.column("user_id").to_numpy(),
+             t.column("wk").to_numpy()], axis=1), axis=0)
+        uid, wk = pairs[:, 0], pairs[:, 1]
+        ul, inv = np.unique(uid, return_inverse=True)
+        cw = np.full(len(ul), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cw, inv, wk)
+        cells = np.stack([cw[inv], wk], axis=1)
+        uc, cnt = np.unique(cells, axis=0, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(uc[:, 0], pa.int64()),
+            "active_week": pa.array(uc[:, 1], pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parted = ds.map_batches(_uw_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["user_id"])
+    df = _named(collect_df(parted.map_batches(
+        _cells_block, batch_format="pyarrow", batch_size=None)),
+        ["cohort_week", "active_week", "n_users"])
+    if df.empty:
+        return pa.table({"cohort_week": pa.array([], pa.int64()),
+                         "active_week": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    m = df.groupby(["cohort_week", "active_week"], sort=True)[
+        "n_users"].sum().reset_index()
+    for c in m.columns:
+        m[c] = m[c].astype(np.int64)
+    return pa.Table.from_pandas(m, preserve_index=False)
+
+
+def q_dup_sources(sf_dir: str) -> pa.Table:
+    """Cross-source duplicate families (mirror detection): for every
+    prefix-duplicate family (same first-{PREFIX_DUP_LEN} normalized
+    chars — the d_prefix_dup key), how many docs and how many
+    DISTINCT sources — families spanning sources are crawl mirrors,
+    within one source re-posts.  Per-batch (prefix, source) partials
+    (min doc, rows) → ONE exchange on the prefix → block rollup;
+    only duplicated families reach the driver, keyed by their
+    representative doc — the text itself never leaves the exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        norm = pa.compute.utf8_slice_codeunits(
+            T.normalize_expr(t.column("text")), 0, PREFIX_DUP_LEN)
+        g = pd.DataFrame({
+            "text_norm": norm.to_pandas(),
+            "source": t.column("source").to_pandas(),
+            "doc_id": t.column("doc_id").to_numpy(),
+        }).groupby(["text_norm", "source"], sort=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size")) \
+            .reset_index()
+        return pa.table({
+            "text_norm": pa.array(g["text_norm"], pa.string()),
+            "source": pa.array(g["source"], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64),
+                          pa.int64())})
+
+    def _family_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "rep_doc_id": pd.Series(dtype=np.int64),
+                "n_docs": pd.Series(dtype=np.int64),
+                "n_sources": pd.Series(dtype=np.int64)})
+        g = df.groupby("text_norm", sort=False).agg(
+            rep_doc_id=("doc_id", "min"), n_docs=("n", "sum"),
+            n_sources=("source", "nunique")).reset_index()
+        g = g[g["n_docs"] >= 2]
+        return g[["rep_doc_id", "n_docs", "n_sources"]].astype(np.int64)
+
+    parted = ds.map_batches(_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["text_norm"])
+    df = _named(collect_df(parted.map_batches(
+        _family_block, batch_format="pandas", batch_size=None)),
+        ["rep_doc_id", "n_docs", "n_sources"])
+    if df.empty:
+        return pa.table({"rep_doc_id": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_sources": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df.astype(np.int64).sort_values(
+        "rep_doc_id").reset_index(drop=True), preserve_index=False)
+
+
+def q_knn_purity(sf_dir: str) -> pa.Table:
+    """Label purity of the kNN graph per class: of each label's
+    outgoing top-5 edges, how many land on a same-label neighbor —
+    the embedding-quality score a semantic-dedup / classifier
+    deployment checks first.  Rides the exact kNN build (LSH/IVF
+    swap in at scale) plus one broadcast label gather; the single
+    division per label is deterministic."""
+    edges = q_knn_graph(sf_dir).to_pandas()
+    lt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "label"])
+    vid = lt.column("vec_id").to_numpy()
+    lab = lt.column("label").to_numpy().astype(np.int64)
+    lut = np.full(int(vid.max()) + 1 if len(vid) else 1, -1, np.int64)
+    lut[vid] = lab
+    ql = lut[edges["query_id"].to_numpy()]
+    nl = lut[edges["neighbor_id"].to_numpy()]
+    g = pd.DataFrame({"label": ql, "same": (ql == nl).astype(np.int64),
+                      "n": 1}).groupby("label", sort=True).agg(
+        n_edges=("n", "sum"), n_same=("same", "sum")).reset_index()
+    return pa.table({
+        "label": pa.array(g["label"].to_numpy(), pa.int64()),
+        "n_edges": pa.array(g["n_edges"].to_numpy().astype(np.int64),
+                            pa.int64()),
+        "n_same": pa.array(g["n_same"].to_numpy().astype(np.int64),
+                           pa.int64()),
+        "purity": pa.array(
+            g["n_same"].to_numpy().astype(np.float64)
+            / g["n_edges"].to_numpy().astype(np.float64),
+            pa.float64())})
+
+
+def _knn_purity_sql() -> str:
+    graph = EXTRA_ORACLE_SQL["e_knn_graph"].strip()
+    return f"""
+WITH g AS ({graph})
+SELECT CAST(ea.label AS BIGINT) AS label, count(*) AS n_edges,
+  sum(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS n_same,
+  CAST(sum(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS purity
+FROM g
+JOIN embeddings ea ON g.query_id = ea.vec_id
+JOIN embeddings eb ON g.neighbor_id = eb.vec_id
+GROUP BY 1"""
+
+
+EXTRA_QUERIES.update({
+    "g_cohort_matrix": q_cohort_matrix,
+    "d_dup_sources": q_dup_sources,
+    "e_knn_purity": q_knn_purity,
+})
+EXTRA_ORACLE_SQL.update({
+    "g_cohort_matrix": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+  FROM events),
+c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+SELECT c.cw AS cohort_week, uw.wk AS active_week, count(*) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2""",
+    "d_dup_sources": f"""
+WITH n AS (
+  SELECT doc_id, source,
+    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+           1, {PREFIX_DUP_LEN}) AS tn
+  FROM documents)
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_docs,
+  count(DISTINCT source) AS n_sources
+FROM n GROUP BY tn HAVING count(*) >= 2""",
+    "e_knn_purity": _knn_purity_sql(),
+})

@@ -370,7 +370,8 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_minhash_recall", "g_churned_users", "h_q7_shipping",
            "d_vocab_growth", "e_label_text_stats", "s_hive_roundtrip",
            "d_field_completeness", "e_knn_confusion", "g_top3_events",
-           "h_top_supplier"]
+           "h_top_supplier", "g_cohort_matrix", "d_dup_sources",
+           "e_knn_purity"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2188,3 +2189,24 @@ def test_top3_kernel_associative_and_ranked():
     merged = _top3_kernel(pa.concat_tables([h1, h2])).to_pandas() \
         .sort_values(["user_id", "rnk"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, merged)
+
+
+def test_cohort_matrix_consistent_with_retention(ray_session):
+    """The matrix's column sums (distinct users active per week) must
+    equal g_retention's n_active, and no cell precedes its cohort."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_cohort_matrix, q_retention)
+    m = q_cohort_matrix(SF).to_pandas()
+    r = q_retention(SF).to_pandas()
+    assert (m["active_week"] >= m["cohort_week"]).all()
+    col = m.groupby("active_week")["n_users"].sum()
+    want = dict(zip(r["week_bucket"], r["n_active"]))
+    assert dict(col) == want
+
+
+def test_knn_purity_bounds(ray_session):
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_knn_purity)
+    p = q_knn_purity(SF).to_pandas()
+    assert (p["n_same"] <= p["n_edges"]).all()
+    assert ((p["purity"] >= 0) & (p["purity"] <= 1)).all()
