@@ -8057,7 +8057,8 @@ SELECT (first_doc // {VOCAB_BUCKET}) * {VOCAB_BUCKET} AS bucket_lo,
 FROM f GROUP BY 1""",
     "e_label_text_stats": """
 SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_docs,
-  sum(array_length(regexp_split_to_array(trim(lower(d.text)), '\\s+')))
+  CAST(sum(array_length(
+    regexp_split_to_array(trim(lower(d.text)), '\\s+'))) AS BIGINT)
     AS total_tokens,
   max(array_length(regexp_split_to_array(trim(lower(d.text)), '\\s+')))
     AS max_tokens
@@ -8218,11 +8219,12 @@ EXTRA_QUERIES.update({
 })
 EXTRA_ORACLE_SQL.update({
     "s_hive_roundtrip": f"""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
   min(doc_id) AS min_doc_id
 FROM documents WHERE lang = '{HIVE_LANG}' GROUP BY lang""",
     "d_field_completeness": """
-SELECT field, n_bad, n_total FROM (
+SELECT field, CAST(n_bad AS BIGINT) AS n_bad, n_total FROM (
   SELECT 'text' AS field,
     sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
       AS n_bad, count(*) AS n_total FROM documents
@@ -8554,7 +8556,8 @@ def _knn_purity_sql() -> str:
     return f"""
 WITH g AS ({graph})
 SELECT CAST(ea.label AS BIGINT) AS label, count(*) AS n_edges,
-  sum(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS n_same,
+  CAST(sum(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_same,
   CAST(sum(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(count(*) AS DOUBLE) AS purity
 FROM g
