@@ -8592,3 +8592,191 @@ SELECT min(doc_id) AS rep_doc_id, count(*) AS n_docs,
 FROM n GROUP BY tn HAVING count(*) >= 2""",
     "e_knn_purity": _knn_purity_sql(),
 })
+
+
+# ---- key-skew profile, out-of-order audit, model-score filter --------------
+
+
+def q_key_skew(sf_dir: str) -> pa.Table:
+    """Key-skew profiler per event_type over the user_id key — the
+    diagnostic that decides salting/bucketing before any keyed
+    exchange (north-rule: skew handled explicitly).  Exact integer
+    sufficient statistics (distinct keys, events, max per-key count,
+    Σcount² — the inverse-Simpson numerator) via per-batch pair
+    partials → ONE hash exchange by user_id → bounded per-type block
+    partials → tiny driver merge; the only floats are the two final
+    divisions (top-key share, effective key count)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    part = ds.map_batches(E.skew_pair_partial, batch_format="pyarrow")
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(part, nparts)
+    parted = part.repartition(num_blocks=nparts, keys=["user_id"])
+    blk = parted.map_batches(E.skew_block_stats, batch_format="pyarrow",
+                             batch_size=None)
+    df = _named(collect_df(blk), ["event_type", "n_keys", "n_events",
+                                  "max_count", "sum_sq"])
+    if df.empty:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_keys": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_count": pa.array([], pa.int64()),
+            "sum_sq": pa.array([], pa.int64()),
+            "top_share": pa.array([], pa.float64()),
+            "eff_keys": pa.array([], pa.float64())})
+    out = df.groupby("event_type", sort=True).agg(
+        n_keys=("n_keys", "sum"), n_events=("n_events", "sum"),
+        max_count=("max_count", "max"),
+        sum_sq=("sum_sq", "sum")).reset_index()
+    ne = out["n_events"].to_numpy(np.int64).astype(np.float64)
+    out["top_share"] = out["max_count"].to_numpy(np.int64) / ne
+    out["eff_keys"] = ne * ne / out["sum_sq"].to_numpy(np.int64)
+    for c in ("n_keys", "n_events", "max_count", "sum_sq"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ooo_ratio(sf_dir: str, width: int | None = None) -> pa.Table:
+    """Out-of-order (watermark) audit per event_type: how many events
+    arrive (in event_id ingest order) with a timestamp behind the
+    running max of everything already ingested, and the worst lateness
+    — the statistic that sizes a streaming window's allowed-lateness.
+    The running max is inherently sequential, so it is distributed as
+    a prefix computation (the pack-offsets pattern): (1) per-batch
+    (type, event_id-range bucket) max-ts partials → bounded driver
+    prefix table; (2) ONE hash exchange by bucket → exact block-local
+    seeded cummax.  Result is bucket-width-invariant (test-pinned)."""
+    import ray as _ray
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "ts"])
+    n_rows = int(ds.count())
+    if width is None:
+        # keep the driver prefix table bounded (~types × ≤64k buckets)
+        width = max(E.OOO_BUCKET_IDS, -(-n_rows // 65_536))
+    part = ds.map_batches(lambda b: E.ooo_bucket_partial(b, width),
+                          batch_format="pyarrow")
+    pdf = _named(collect_df(part), ["event_type", "bucket", "max_ts"])
+    prefix: dict[tuple[str, int], int] = {}
+    if not pdf.empty:
+        pdf = pdf.groupby(["event_type", "bucket"], sort=True) \
+            .agg(max_ts=("max_ts", "max")).reset_index()
+        for et, grp in pdf.groupby("event_type", sort=False):
+            b = grp["bucket"].to_numpy(np.int64)
+            m = np.maximum.accumulate(grp["max_ts"].to_numpy(np.int64))
+            # prefix[b_k] = max over buckets strictly BEFORE b_k
+            for i in range(1, len(b)):
+                prefix[(et, int(b[i]))] = int(m[i - 1])
+    ref = _ray.put(prefix)
+
+    def _bucketed(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").cast(pa.int64()).to_numpy()
+        return t.append_column(
+            "bucket", pa.array(eid // np.int64(width), pa.int64()))
+
+    nparts = shuffle_width(n_rows)
+    keyed = ds.map_batches(_bucketed, batch_format="pyarrow")
+    use_hash_shuffle(keyed, nparts)
+    parted = keyed.repartition(num_blocks=nparts, keys=["bucket"])
+    blk = parted.map_batches(
+        lambda b: E.ooo_block_audit(b, width, _ray.get(ref)),
+        batch_format="pyarrow", batch_size=None)
+    df = _named(collect_df(blk), ["event_type", "n_events", "n_late",
+                                  "max_late_us"])
+    if df.empty:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "max_late_us": pa.array([], pa.int64()),
+            "late_share": pa.array([], pa.float64())})
+    out = df.groupby("event_type", sort=True).agg(
+        n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+        max_late_us=("max_late_us", "max")).reset_index()
+    out["late_share"] = (out["n_late"].to_numpy(np.int64)
+                         / out["n_events"].to_numpy(np.int64)
+                         .astype(np.float64))
+    for c in ("n_events", "n_late", "max_late_us"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_model_filter(sf_dir: str) -> pa.Table:
+    """Model-based curation filter over the corpus: a seeded linear
+    scorer (token-hash-derived weights — the deterministic stand-in
+    for a fastText-style quality classifier) run as an actor-pool
+    batched-inference stage; zero shuffle, exact integer scores."""
+    docs = _docs(sf_dir)
+    out = docs.map_batches(T.ModelScoreStage, batch_format="pyarrow",
+                           concurrency=(1, 8))
+    df = _named(collect_df(out), ["doc_id", "n_tokens", "score", "kept"])
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64()),
+                         "kept": pa.array([], pa.bool_())})
+    df = df.sort_values("doc_id", ignore_index=True)
+    df["kept"] = df["kept"].astype(bool)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _model_filter_sql() -> str:
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        MODEL_A1, MODEL_A2, MODEL_B1, MODEL_W_SPAN)
+    half = (MODEL_W_SPAN - 1) // 2
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS x
+  FROM documents),
+h0 AS (SELECT doc_id, {_TOKHASH_SQL} AS th FROM toks),
+h1 AS (SELECT doc_id,
+         CAST((CAST(th AS HUGEINT) * {MODEL_A1} + {MODEL_B1})
+              % 2305843009213693951 AS BIGINT) AS h FROM h0),
+h2 AS (SELECT doc_id, xor(h, h >> 31) AS h FROM h1),
+h3 AS (SELECT doc_id,
+         CAST((CAST(h AS HUGEINT) * {MODEL_A2})
+              % 2305843009213693951 AS BIGINT) AS h FROM h2),
+h AS (SELECT doc_id, xor(h, h >> 29) AS h FROM h3),
+s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    CAST(sum(h % {MODEL_W_SPAN} - {half}) AS BIGINT) AS score
+  FROM h GROUP BY doc_id)
+SELECT doc_id, n_tokens, score, score >= 0 AS kept FROM s"""
+
+
+EXTRA_QUERIES.update({
+    "g_key_skew": q_key_skew,
+    "g_ooo_ratio": q_ooo_ratio,
+    "d_model_filter": q_model_filter,
+})
+EXTRA_ORACLE_SQL.update({
+    "g_key_skew": """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2)
+SELECT event_type, count(*) AS n_keys,
+  CAST(sum(c) AS BIGINT) AS n_events,
+  CAST(max(c) AS BIGINT) AS max_count,
+  CAST(sum(c * c) AS BIGINT) AS sum_sq,
+  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+  CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+    / CAST(sum(c * c) AS DOUBLE) AS eff_keys
+FROM c GROUP BY 1""",
+    "g_ooo_ratio": """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) AS ts,
+    max(epoch_us(ts)) OVER (
+      PARTITION BY event_type ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM events)
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CASE WHEN ts < prevmax THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_late,
+  CAST(COALESCE(max(CASE WHEN ts < prevmax THEN prevmax - ts END), 0)
+       AS BIGINT) AS max_late_us,
+  CAST(sum(CASE WHEN ts < prevmax THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS late_share
+FROM w GROUP BY 1""",
+    "d_model_filter": _model_filter_sql(),
+})

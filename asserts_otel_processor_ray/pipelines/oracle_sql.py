@@ -430,6 +430,25 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
       FROM witems) WHERE rn <= {config.per_request_topk})
   SELECT flush_window, conv_id, entity, request, qtype, sample_type,
     latency FROM wwinners"""),
+        # exact per-service latency percentiles (discrete quantile =
+        # value at 1-based rank ceil(p·n/100) — the g_quantiles
+        # convention; latency in exact integer µs)
+        "t_latency_quantiles": p(""",
+  lq AS (
+    SELECT namespace, service,
+      CAST(round(latency_s * 1000000) AS BIGINT) AS lat_us
+    FROM decided),
+  lqr AS (
+    SELECT namespace, service, lat_us,
+      row_number() OVER (PARTITION BY namespace, service
+                         ORDER BY lat_us) AS rn,
+      count(*) OVER (PARTITION BY namespace, service) AS n
+    FROM lq)
+  SELECT namespace, service, CAST(max(n) AS BIGINT) AS n_turns,
+    max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_us END) AS p50_us,
+    max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_us END) AS p90_us,
+    max(CASE WHEN rn = (99 * n + 99) // 100 THEN lat_us END) AS p99_us
+  FROM lqr GROUP BY namespace, service"""),
         "t_routed_error": p(routed_sel + " SELECT " + routed_cols
                             + " FROM routed WHERE sample_type = 'error'"),
         "t_routed_slow": p(routed_sel + " SELECT " + routed_cols

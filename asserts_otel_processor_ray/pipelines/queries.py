@@ -280,6 +280,75 @@ def q_windowed_winners(sf_dir: str) -> pa.Table:
     })
 
 
+LAT_QUANTILE_PCTS = (50, 90, 99)
+
+
+def _lat_count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch partial: turn count per (namespace, service, exact
+    integer-µs latency).  latency_s is k/1e6 by construction (µs
+    timestamp diffs), so rint(lat·1e6) recovers k exactly."""
+    lat_us = np.rint(
+        t.column("latency_s").to_numpy() * 1e6).astype(np.int64)
+    tt = pa.table({
+        "namespace": t.column("namespace"),
+        "service": t.column("service"),
+        "lat_us": pa.array(lat_us, pa.int64()),
+    })
+    gb = tt.group_by(["namespace", "service", "lat_us"]).aggregate(
+        [([], "count_all")])
+    return gb.rename_columns(["namespace", "service", "lat_us",
+                              "partial_n"])
+
+
+def _lat_quantile_final(df: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: one (namespace, service)'s (lat_us, n)
+    histogram → a single row of exact discrete percentiles (1-based
+    rank ceil(p·n/100), integer arithmetic — the g_quantiles
+    convention)."""
+    d = df.sort_values("lat_us")
+    vals = d["lat_us"].to_numpy(np.int64)
+    cum = np.cumsum(d["n"].to_numpy().astype(np.int64))
+    n = int(cum[-1])
+    out = {"namespace": [df["namespace"].iloc[0]],
+           "service": [df["service"].iloc[0]],
+           "n_turns": [np.int64(n)]}
+    for p in LAT_QUANTILE_PCTS:
+        rank = (p * n + 99) // 100
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out[f"p{p}_us"] = [np.int64(vals[idx])]
+    return pd.DataFrame(out)
+
+
+def q_latency_quantiles(sf_dir: str) -> pa.Table:
+    """Per-(namespace, service) exact discrete latency percentiles in
+    integer microseconds over every decided turn — the SLO summary the
+    reference's latency histogram (metric_helper.go) approximates from
+    bucket edges, computed exactly.  Shape: per-batch
+    (ns, svc, lat_us) count partials → ONE distributed groupby-sum
+    (|distinct (svc, latency)| rows, bounded by timestamp resolution ×
+    service cardinality) → per-service rank-selection final.  No
+    global sort, no full-column materialization."""
+    from ray.data.aggregate import Sum
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    art = artifacts(sf_dir)
+    part = art["decided"].map_batches(_lat_count_partial,
+                                      batch_format="pyarrow")
+    agg = part.groupby(["namespace", "service", "lat_us"]).aggregate(
+        Sum("partial_n"))
+    agg = agg.map_batches(
+        lambda t: (t.rename_columns(
+            ["namespace", "service", "lat_us", "n"])
+            if t.num_columns == 4 else t),
+        batch_format="pyarrow")
+    out = agg.groupby(["namespace", "service"]).map_groups(
+        _lat_quantile_final, batch_format="pandas")
+    df = collect_df(out).sort_values(["namespace", "service"],
+                                     ignore_index=True)
+    for c in ["n_turns"] + [f"p{p}_us" for p in LAT_QUANTILE_PCTS]:
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 CORE_QUERIES = {
     "t_parse": q_parse,
     "t_enrich": q_enrich,
@@ -298,6 +367,7 @@ CORE_QUERIES = {
     "t_agg_span_sampled": q_agg_span_sampled,
     "t_agg_latency_hist": q_agg_latency_hist,
     "t_windowed_winners": q_windowed_winners,
+    "t_latency_quantiles": q_latency_quantiles,
 }
 
 if jaeger_fixture_paths():

@@ -361,3 +361,120 @@ def funnel_block(batch: pa.Table,
         prev_t = np.where(reached & (stage >= k), t, inf)
     return pa.table({"user_id": pa.array(users, pa.int64()),
                      "stage": pa.array(stage, pa.int64())})
+
+
+# ---- key-skew profile, out-of-order (watermark) audit ---------------------
+
+def skew_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial for the key-skew profile: row count per
+    (event_type, user_id)."""
+    gb = batch.select(["event_type", "user_id"]).group_by(
+        ["event_type", "user_id"]).aggregate([([], "count_all")])
+    return gb.rename_columns(["event_type", "user_id", "partial_n"])
+
+
+def skew_block_stats(batch: pa.Table) -> pa.Table:
+    """Per-block skew partial: merge this block's (event_type, user_id)
+    count partials (complete per pair — blocks are hash-partitioned by
+    user_id, so a pair never straddles blocks), then reduce to one
+    bounded row per event_type: distinct keys, events, max per-key
+    count and the exact sum of squared counts (the inverse-Simpson
+    numerator).  All int64; the driver adds blocks (users are disjoint
+    across blocks) and does the two float divisions at the very end."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_keys": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_count": pa.array([], pa.int64()),
+            "sum_sq": pa.array([], pa.int64())})
+    merged = batch.group_by(["event_type", "user_id"]).aggregate(
+        [("partial_n", "sum")])
+    df = merged.to_pandas()
+    df.columns = ["event_type", "user_id", "c"]
+    c = df["c"].to_numpy(np.int64)
+    out = df.assign(sq=c * c).groupby("event_type", sort=False).agg(
+        n_keys=("user_id", "size"), n_events=("c", "sum"),
+        max_count=("c", "max"), sum_sq=("sq", "sum")).reset_index()
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_keys": pa.array(out["n_keys"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(out["n_events"].to_numpy(np.int64),
+                             pa.int64()),
+        "max_count": pa.array(out["max_count"].to_numpy(np.int64),
+                              pa.int64()),
+        "sum_sq": pa.array(out["sum_sq"].to_numpy(np.int64), pa.int64())})
+
+
+OOO_BUCKET_IDS = 4096          # default event_id-range bucket width
+
+
+def ooo_bucket_partial(batch: pa.Table, width: int) -> pa.Table:
+    """Phase-1 partial for the out-of-order audit: max event ts per
+    (event_type, event_id-range bucket).  O(types × buckets) rows —
+    the bounded driver prefix table."""
+    eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+    t = pa.table({
+        "event_type": batch.column("event_type"),
+        "bucket": pa.array(eid // np.int64(width), pa.int64()),
+        "ts": batch.column("ts").cast(pa.int64()),
+    })
+    gb = t.group_by(["event_type", "bucket"]).aggregate([("ts", "max")])
+    return gb.rename_columns(["event_type", "bucket", "max_ts"])
+
+
+_TS_NEG_INF = np.iinfo(np.int64).min // 4
+
+
+def ooo_block_audit(batch: pa.Table, width: int,
+                    prefix: dict[tuple[str, int], int]) -> pa.Table:
+    """Phase-2 block kernel: blocks are hash-partitioned by bucket, so
+    every (event_type, bucket) run is block-complete.  Sort the run by
+    event_id (the arrival sequence), seed the running max with the
+    broadcast prefix max over all EARLIER buckets of that type, and
+    count events whose ts lags the watermark (ts < running max of all
+    prior arrivals).  The per-run shifted cummax stays in exact int64
+    (a short Python loop over the block's bounded set of
+    (type, bucket) runs — never over rows).  Emits bounded per-type
+    partials: n, n_late, max lateness in µs."""
+    if batch.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_late": pa.array([], pa.int64()),
+                         "max_late_us": pa.array([], pa.int64())})
+    import pyarrow.compute as pc
+    if "bucket" not in batch.column_names:
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        batch = batch.append_column(
+            "bucket", pa.array(eid // np.int64(width), pa.int64()))
+    idx = pc.sort_indices(batch, sort_keys=[
+        ("event_type", "ascending"), ("bucket", "ascending"),
+        ("event_id", "ascending")])
+    batch = batch.take(idx)
+    etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+    bucket = batch.column("bucket").to_numpy()
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+
+    new_run = np.r_[True, (etype[1:] != etype[:-1])
+                    | (bucket[1:] != bucket[:-1])]
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], len(ts)]
+    prevmax = np.empty(len(ts), np.int64)
+    for s, e in zip(starts, ends):
+        seed = prefix.get((etype[s], int(bucket[s])), _TS_NEG_INF)
+        prevmax[s:e] = np.maximum.accumulate(
+            np.r_[np.int64(seed), ts[s:e - 1]])
+    late = ts < prevmax
+    lateness = np.where(late, prevmax - ts, np.int64(0))
+    df = pd.DataFrame({"event_type": etype, "late": late,
+                       "lateness": lateness})
+    out = df.groupby("event_type", sort=False).agg(
+        n_events=("late", "size"), n_late=("late", "sum"),
+        max_late=("lateness", "max")).reset_index()
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_events": pa.array(out["n_events"].to_numpy(np.int64),
+                             pa.int64()),
+        "n_late": pa.array(out["n_late"].to_numpy(np.int64), pa.int64()),
+        "max_late_us": pa.array(out["max_late"].to_numpy(np.int64),
+                                pa.int64())})

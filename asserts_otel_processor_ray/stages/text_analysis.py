@@ -667,3 +667,57 @@ def shard_order_block(t: pa.Table) -> pa.Table:
     out = t.sort_by([("shard", "ascending"), ("h", "ascending"),
                      ("doc_id", "ascending")])
     return out.drop_columns(["h"])
+
+
+# ---- seeded-linear-model scoring filter (batched "inference") -------------
+#
+# The plumbing of a model-based quality filter (fastText/classifier-style
+# curation) with a deterministic, SQL-mirrorable "model": each token's
+# weight is derived from its avalanche-mixed 61-bit hash, so the score is
+# an exact integer the DuckDB oracle reproduces term-for-term.  The stage
+# is the actor-pool shape a real model gets: weights/vocab state lives in
+# __init__ (once per actor), __call__ is one vectorized pass per batch.
+
+MODEL_A1 = 693_820_154_511_196_443     # < 2^61-1, odd
+MODEL_B1 = 147_563_902_841_776_207
+MODEL_A2 = 921_450_873_664_519_817
+MODEL_W_SPAN = 2001                    # weights in [-1000, 1000]
+MODEL_KEEP_MIN = 0                     # keep docs with score >= 0
+
+
+class ModelScoreStage:
+    """Actor-pool batch scorer: token-hash-derived linear model.
+
+    __init__ "loads the model" once per actor (here: the mix constants
+    plus a persistent token→hash vocabulary cache, the same amortization
+    the fingerprint/minhash stages use); __call__ scores a batch with
+    one factorize + one gather + one segment-sum — no per-row Python."""
+
+    def __init__(self, a1: int = MODEL_A1, b1: int = MODEL_B1,
+                 a2: int = MODEL_A2):
+        self._a1, self._b1, self._a2 = a1, b1, a2
+        self._vocab: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.bool_())})
+        toks = _tokens_series(batch.column("text"))
+        lens = toks.map(len).to_numpy().astype(np.int64)
+        flat = pd.Series(np.concatenate(toks.to_numpy()))
+        h = token_hashes(flat, cache=self._vocab)
+        mixed = mix_hash61(h, self._a1, self._b1, self._a2)
+        w = (mixed % np.uint64(MODEL_W_SPAN)).astype(np.int64) \
+            - (MODEL_W_SPAN - 1) // 2
+        starts = np.r_[0, lens.cumsum()[:-1]]
+        score = np.add.reduceat(w, starts)
+        score[lens == 0] = 0
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "score": pa.array(score.astype(np.int64), pa.int64()),
+            "kept": pa.array(score >= MODEL_KEEP_MIN, pa.bool_()),
+        })

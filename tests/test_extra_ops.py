@@ -371,7 +371,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_vocab_growth", "e_label_text_stats", "s_hive_roundtrip",
            "d_field_completeness", "e_knn_confusion", "g_top3_events",
            "h_top_supplier", "g_cohort_matrix", "d_dup_sources",
-           "e_knn_purity"]
+           "e_knn_purity", "g_key_skew", "g_ooo_ratio", "d_model_filter"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2210,3 +2210,84 @@ def test_knn_purity_bounds(ray_session):
     p = q_knn_purity(SF).to_pandas()
     assert (p["n_same"] <= p["n_edges"]).all()
     assert ((p["purity"] >= 0) & (p["purity"] <= 1)).all()
+
+
+def test_key_skew_consistent_with_distinct_users(ray_session, ducks):
+    """n_keys per type == exact COUNT(DISTINCT user_id); shares and
+    effective-key counts sit in their algebraic bounds."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_key_skew)
+    s = q_key_skew(SF).to_pandas()
+    want = dict(ducks.sql(
+        "SELECT event_type, count(DISTINCT user_id) FROM events "
+        "GROUP BY 1").fetchall())
+    assert dict(zip(s["event_type"], s["n_keys"])) == want
+    assert ((s["eff_keys"] <= s["n_keys"] + 1e-9)
+            & (s["eff_keys"] >= 1.0 - 1e-9)).all()
+    assert ((s["top_share"] > 0) & (s["top_share"] <= 1)).all()
+
+
+def test_ooo_ratio_bucket_width_invariant(ray_session):
+    """The distributed prefix decomposition must be exact: any bucket
+    width gives the same audit as any other."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_ooo_ratio)
+    a = q_ooo_ratio(SF, width=64).to_pandas()
+    b = q_ooo_ratio(SF, width=100_000_000).to_pandas()  # 1 bucket
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ooo_block_audit_seeded_prefix():
+    """A bucket's running max must be seeded by earlier buckets' max
+    (prefix dict), not restart at -inf."""
+    from asserts_otel_processor_ray.stages.events import ooo_block_audit
+    t = pa.table({
+        "event_id": pa.array([10, 11], pa.int64()),
+        "event_type": ["a", "a"],
+        "ts": pa.array([5, 6], pa.int64()).cast(pa.timestamp("us")),
+    })
+    # without prefix: nothing late; with prefix max 100: both late
+    no = ooo_block_audit(t, 4, {}).to_pydict()
+    assert no["n_late"] == [0]
+    yes = ooo_block_audit(t, 4, {("a", 2): 100}).to_pydict()
+    assert yes["n_late"] == [2] and yes["max_late_us"] == [95]
+
+
+def test_model_filter_score_matches_reference_math(ray_session):
+    """Recompute one doc's score token-by-token with the plain-Python
+    reference of the hash chain; the kept flag must be score >= 0."""
+    import hashlib
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        q_model_filter)
+    from asserts_otel_processor_ray.stages.text_analysis import (
+        _MOD, MODEL_A1, MODEL_A2, MODEL_B1, MODEL_W_SPAN)
+    import duckdb as _dd
+    out = q_model_filter(SF).to_pandas()
+    assert (out["kept"] == (out["score"] >= 0)).all()
+    row = out.iloc[0]
+    text = _dd.sql(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE doc_id = {int(row['doc_id'])}").fetchone()[0]
+    score = 0
+    for tok in text.strip().lower().split():
+        h = int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "big") % _MOD
+        h = (h * MODEL_A1 + MODEL_B1) % _MOD
+        h ^= h >> 31
+        h = (h * MODEL_A2) % _MOD
+        h ^= h >> 29
+        score += h % MODEL_W_SPAN - (MODEL_W_SPAN - 1) // 2
+    assert score == int(row["score"])
+
+
+def test_latency_quantiles_shape(ray_session):
+    """Percentiles are monotone and n_turns reconciles with the
+    decided turn count (full value parity is the e2e oracle test)."""
+    from asserts_otel_processor_ray.pipelines.queries import (
+        artifacts, q_latency_quantiles)
+    sf = "/tmp/graft_sf/sf0.0003"
+    q = q_latency_quantiles(sf).to_pandas()
+    assert (q["p50_us"] <= q["p90_us"]).all()
+    assert (q["p90_us"] <= q["p99_us"]).all()
+    assert int(q["n_turns"].sum()) == \
+        artifacts(sf)["decided_tbl"].num_rows

@@ -54,6 +54,7 @@ NAMES = [
     "t_routed_error", "t_routed_slow", "t_routed_normal",
     "t_agg_trace_count", "t_agg_span_count", "t_agg_sampled_count",
     "t_agg_span_sampled", "t_agg_latency_hist", "t_windowed_winners",
+    "t_latency_quantiles",
 ]
 
 
