@@ -8780,3 +8780,170 @@ SELECT event_type, count(*) AS n_events,
 FROM w GROUP BY 1""",
     "d_model_filter": _model_filter_sql(),
 })
+
+
+# ---- Q12-style priority line counts, median absolute deviation -------------
+
+_Q12_LO_US = int(pd.Timestamp("1996-01-01").value // 1000)
+_Q12_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_q12_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q12-style shipping-priority audit (l_linestatus stands in
+    for the ship mode this schema lacks): lines shipped in 1996, split
+    into high- vs low-priority counts by the order's priority.  Scale
+    shape: lineitem is filtered + pre-reduced per batch to
+    (l_orderkey, l_linestatus, n) BEFORE the one big-big exchange (a
+    native hash join against the 2-column orders projection); the
+    conditional rollup is a per-batch integer partial after the join,
+    merged on the driver at O(|statuses|) rows."""
+    nparts = default_shuffle_blocks()
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    use_hash_shuffle(line, nparts)
+
+    def _pre(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= _Q12_LO_US) & (ship < _Q12_HI_US)
+        f = t.filter(pa.array(keep)).select(
+            ["l_orderkey", "l_linestatus"])
+        gb = f.group_by(["l_orderkey", "l_linestatus"]).aggregate(
+            [([], "count_all")])
+        return gb.rename_columns(["l_orderkey", "l_linestatus", "n"])
+
+    pre = line.map_batches(_pre, batch_format="pyarrow")
+    joined = pre.join(orders, join_type="inner", num_partitions=nparts,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _rollup(t: pa.Table) -> pa.Table:
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy().astype(np.int64)
+        hi = np.isin(pri, _Q12_HIGH)
+        df = pd.DataFrame({
+            "l_linestatus": t.column("l_linestatus").to_numpy(
+                zero_copy_only=False),
+            "high_line_count": np.where(hi, n, 0),
+            "low_line_count": np.where(hi, 0, n),
+        }).groupby("l_linestatus", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = collect_df(joined.map_batches(_rollup, batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({
+            "l_linestatus": pa.array([], pa.string()),
+            "high_line_count": pa.array([], pa.int64()),
+            "low_line_count": pa.array([], pa.int64())})
+    out = df.groupby("l_linestatus", sort=True, as_index=False).sum()
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _median_from_counts(df: pd.DataFrame, vcol: str) -> float:
+    """Discrete median from a (value, n) histogram — 1-based rank
+    ceil(n/2) under the g_quantiles convention ((50·n+99)//100)."""
+    d = df.sort_values(vcol)
+    cum = np.cumsum(d["n"].to_numpy().astype(np.int64))
+    n = int(cum[-1])
+    rank = (50 * n + 99) // 100
+    return float(d[vcol].to_numpy()[np.searchsorted(cum, rank, "left")])
+
+
+def q_mad(sf_dir: str) -> pa.Table:
+    """Robust dispersion per event_type: exact median and median
+    absolute deviation.  Two value-count-histogram passes (the
+    g_quantiles reduction, composed): (1) per-type median from a
+    distributed (type, value) count groupby; (2) the medians broadcast
+    into a second streaming pass computing |value − median| counts →
+    per-type MAD.  No global sort; the only floats are the subtraction
+    and abs, identical IEEE ops in the SQL mirror."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def _counts(ds):
+        part = ds.map_batches(E.value_count_partial,
+                              batch_format="pyarrow")
+        agg = part.groupby(["event_type", "value"]).aggregate(
+            Sum("partial_n"))
+        return agg.map_batches(
+            lambda t: (t.rename_columns(["event_type", "value", "n"])
+                       if t.num_columns == 3 else t),
+            batch_format="pyarrow")
+
+    ev = _events(sf_dir)
+    c1 = collect_df(_counts(ev))
+    if c1.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "med": pa.array([], pa.float64()),
+                         "mad": pa.array([], pa.float64())})
+    meds = {et: _median_from_counts(g, "value")
+            for et, g in c1.groupby("event_type", sort=False)}
+    ref = _ray.put(meds)
+
+    def _adev(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy()
+        med = np.array([m[x] for x in pd.unique(et)])
+        codes = pd.Categorical(et, categories=pd.unique(et)).codes
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": pa.array(np.abs(v - med[codes]), pa.float64())})
+
+    c2 = collect_df(_counts(ev.map_batches(_adev,
+                                           batch_format="pyarrow")))
+    rows = []
+    for et, g in c2.groupby("event_type", sort=True):
+        rows.append((et, int(g["n"].sum()), meds[et],
+                     _median_from_counts(g, "value")))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "med": pa.array([r[2] for r in rows], pa.float64()),
+        "mad": pa.array([r[3] for r in rows], pa.float64())})
+
+
+EXTRA_QUERIES.update({
+    "h_q12_priority": q_q12_priority,
+    "g_mad": q_mad,
+})
+EXTRA_ORACLE_SQL.update({
+    "h_q12_priority": f"""
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_us(l_shipdate) >= {_Q12_LO_US}
+  AND epoch_us(l_shipdate) < {_Q12_HI_US}
+GROUP BY 1""",
+    "g_mad": """
+WITH r AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (
+  SELECT event_type,
+    max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS med
+  FROM r GROUP BY 1),
+a AS (
+  SELECT e.event_type, abs(e.value - m.med) AS av
+  FROM events e JOIN med m USING (event_type)),
+r2 AS (
+  SELECT event_type, av,
+    row_number() OVER (PARTITION BY event_type ORDER BY av) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM a)
+SELECT r2.event_type, CAST(max(r2.n) AS BIGINT) AS n_events,
+  max(m.med) AS med,
+  max(CASE WHEN rn = (50 * n + 99) // 100 THEN av END) AS mad
+FROM r2 JOIN med m USING (event_type) GROUP BY 1""",
+})

@@ -430,6 +430,16 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
       FROM witems) WHERE rn <= {config.per_request_topk})
   SELECT flush_window, conv_id, entity, request, qtype, sample_type,
     latency FROM wwinners"""),
+        # within-conversation tool bigrams over the RAW transcript
+        # table (no prelude needed — pure lead() window)
+        "t_tool_transitions": f"""
+WITH w AS (
+  SELECT conv_id, tool,
+    lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS next_tool
+  FROM {src})
+SELECT tool, next_tool, count(*) AS n_pairs
+FROM w WHERE next_tool IS NOT NULL GROUP BY 1, 2""",
         # exact per-service latency percentiles (discrete quantile =
         # value at 1-based rank ceil(p·n/100) — the g_quantiles
         # convention; latency in exact integer µs)

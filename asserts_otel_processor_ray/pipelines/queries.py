@@ -349,6 +349,56 @@ def q_latency_quantiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _tool_pairs_block(t: pa.Table) -> pa.Table:
+    """Block kernel (blocks hash-partitioned by conv_id): sort each
+    conversation by turn_idx, emit (tool, next_tool) adjacent pairs,
+    pre-reduced to counts before leaving the block."""
+    if t.num_rows == 0:
+        return pa.table({"tool": pa.array([], pa.string()),
+                         "next_tool": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
+    idx = pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                        ("turn_idx", "ascending")])
+    t = t.take(idx)
+    conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+    tool = t.column("tool").to_numpy(zero_copy_only=False)
+    same = conv[1:] == conv[:-1]
+    df = pd.DataFrame({"tool": tool[:-1][same],
+                       "next_tool": tool[1:][same]})
+    out = df.groupby(["tool", "next_tool"], sort=False) \
+        .size().reset_index(name="n_pairs")
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_tool_transitions(sf_dir: str) -> pa.Table:
+    """Tool→next-tool bigram counts within each conversation over the
+    raw transcript table — the Markov structure of agent tool usage
+    (the transcripts sibling of g_transitions).  Shape: ONE hash
+    exchange by conv_id (correct under any input layout) → per-block
+    sort + shifted-pair pre-reduce → bounded driver merge (≤ |tools|²
+    rows cross the driver, never turns)."""
+    from asserts_otel_processor_ray.stages.topk import (
+        collect_df, shuffle_width, use_hash_shuffle)
+    path = ensure_transcripts(sf_dir)
+    ds = ray.data.read_parquet(path,
+                               columns=["conv_id", "turn_idx", "tool"])
+    nparts = shuffle_width(ds.count())
+    use_hash_shuffle(ds, nparts)
+    parted = ds.repartition(num_blocks=nparts, keys=["conv_id"])
+    blk = parted.map_batches(_tool_pairs_block, batch_format="pyarrow",
+                             batch_size=None)
+    df = collect_df(blk)
+    if df.empty:
+        return pa.table({"tool": pa.array([], pa.string()),
+                         "next_tool": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
+    out = df.groupby(["tool", "next_tool"], sort=True, as_index=False) \
+        ["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 CORE_QUERIES = {
     "t_parse": q_parse,
     "t_enrich": q_enrich,
@@ -368,6 +418,7 @@ CORE_QUERIES = {
     "t_agg_latency_hist": q_agg_latency_hist,
     "t_windowed_winners": q_windowed_winners,
     "t_latency_quantiles": q_latency_quantiles,
+    "t_tool_transitions": q_tool_transitions,
 }
 
 if jaeger_fixture_paths():

@@ -371,7 +371,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_vocab_growth", "e_label_text_stats", "s_hive_roundtrip",
            "d_field_completeness", "e_knn_confusion", "g_top3_events",
            "h_top_supplier", "g_cohort_matrix", "d_dup_sources",
-           "e_knn_purity", "g_key_skew", "g_ooo_ratio", "d_model_filter"]
+           "e_knn_purity", "g_key_skew", "g_ooo_ratio", "d_model_filter", "h_q12_priority", "g_mad"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2291,3 +2291,37 @@ def test_latency_quantiles_shape(ray_session):
     assert (q["p90_us"] <= q["p99_us"]).all()
     assert int(q["n_turns"].sum()) == \
         artifacts(sf)["decided_tbl"].num_rows
+
+
+def test_q12_counts_reconcile(ray_session, ducks):
+    """high + low line counts == total 1996-shipped join cardinality."""
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _Q12_HI_US, _Q12_LO_US, q_q12_priority)
+    out = q_q12_priority(SF).to_pandas()
+    total = ducks.sql(
+        f"SELECT count(*) FROM lineitem JOIN orders "
+        f"ON l_orderkey = o_orderkey "
+        f"WHERE epoch_us(l_shipdate) >= {_Q12_LO_US} "
+        f"AND epoch_us(l_shipdate) < {_Q12_HI_US}").fetchone()[0]
+    assert int((out["high_line_count"] + out["low_line_count"]).sum()) \
+        == int(total)
+
+
+def test_mad_median_semantics(ray_session):
+    """MAD must be the discrete median of |value − median| — pinned
+    against a brute-force pandas recompute of one event type."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        _median_from_counts, q_mad)
+    out = q_mad(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    et = out["event_type"].iloc[0]
+    v = np.sort(ev.loc[ev.event_type == et, "value"].to_numpy())
+    n = len(v)
+    med = v[(50 * n + 99) // 100 - 1]
+    av = np.sort(np.abs(v - med))
+    mad = av[(50 * n + 99) // 100 - 1]
+    row = out[out.event_type == et].iloc[0]
+    assert row["med"] == med and row["mad"] == mad
+    assert int(row["n_events"]) == n

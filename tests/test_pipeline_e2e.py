@@ -5,6 +5,7 @@ equality and per-sink aggregate counts)."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from asserts_otel_processor_ray.config import default_config
@@ -54,7 +55,7 @@ NAMES = [
     "t_routed_error", "t_routed_slow", "t_routed_normal",
     "t_agg_trace_count", "t_agg_span_count", "t_agg_sampled_count",
     "t_agg_span_sampled", "t_agg_latency_hist", "t_windowed_winners",
-    "t_latency_quantiles",
+    "t_latency_quantiles", "t_tool_transitions",
 ]
 
 
@@ -130,3 +131,20 @@ def test_route_filter_pushdown_matches_unfiltered(ray_session,
     c = c.sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_tool_pairs_block_pre_reduce():
+    """Pairs never cross conversations; counts pre-reduce per block."""
+    from asserts_otel_processor_ray.pipelines.queries import (
+        _tool_pairs_block)
+    t = pa.table({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "turn_idx": pa.array([2, 0, 1, 0, 1], pa.int32()),
+        "tool": ["x", "y", "x", "x", "x"],
+    })
+    out = _tool_pairs_block(t).to_pandas().sort_values(
+        ["tool", "next_tool"], ignore_index=True)
+    # conv a ordered: y->x->x ; conv b: x->x  => (x,x): 2, (y,x): 1
+    assert out.to_dict("records") == [
+        {"tool": "x", "next_tool": "x", "n_pairs": 2},
+        {"tool": "y", "next_tool": "x", "n_pairs": 1}]
