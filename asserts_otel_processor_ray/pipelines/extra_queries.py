@@ -8947,3 +8947,84 @@ SELECT r2.event_type, CAST(max(r2.n) AS BIGINT) AS n_events,
   max(CASE WHEN rn = (50 * n + 99) // 100 THEN av END) AS mad
 FROM r2 JOIN med m USING (event_type) GROUP BY 1""",
 })
+
+
+MAD_OUT_K = 3.0
+
+
+def q_mad_outliers(sf_dir: str, k: float = MAD_OUT_K) -> pa.Table:
+    """Robust outlier detection per event_type: events whose value
+    sits more than k MADs from the type's median (the robust sibling
+    of g_spikes' z-scores — immune to the outliers it hunts).  Rides
+    q_mad's two value-count passes for the (median, MAD) table (tiny,
+    broadcast), then ONE stateless streaming pass with per-batch
+    integer partials; the comparison |v − med| > k·MAD is the same
+    IEEE float ops in the SQL mirror."""
+    import ray as _ray
+    stats = q_mad(sf_dir).to_pandas()
+    if stats.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_outliers": pa.array([], pa.int64()),
+                         "out_share": pa.array([], pa.float64())})
+    sm = {r.event_type: (r.med, r.mad) for r in stats.itertuples()}
+    ref = _ray.put(sm)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy()
+        uniq = pd.unique(et)
+        med = np.array([m[x][0] for x in uniq])
+        mad = np.array([m[x][1] for x in uniq])
+        codes = pd.Categorical(et, categories=uniq).codes
+        out = np.abs(v - med[codes]) > k * mad[codes]
+        df = pd.DataFrame({"event_type": et, "out": out}) \
+            .groupby("event_type", sort=False).agg(
+                n_events=("out", "size"),
+                n_outliers=("out", "sum")).reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part = _events(sf_dir).map_batches(_flag, batch_format="pyarrow")
+    df = collect_df(part)
+    out = df.groupby("event_type", sort=True, as_index=False).sum()
+    for c in ("n_events", "n_outliers"):
+        out[c] = out[c].astype(np.int64)
+    out["out_share"] = (out["n_outliers"].to_numpy(np.int64)
+                        / out["n_events"].to_numpy(np.int64)
+                        .astype(np.float64))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRA_QUERIES.update({"g_mad_outliers": q_mad_outliers})
+EXTRA_ORACLE_SQL.update({"g_mad_outliers": f"""
+WITH r AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (
+  SELECT event_type,
+    max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS med
+  FROM r GROUP BY 1),
+a AS (
+  SELECT e.event_type, abs(e.value - m.med) AS av
+  FROM events e JOIN med m USING (event_type)),
+r2 AS (
+  SELECT event_type, av,
+    row_number() OVER (PARTITION BY event_type ORDER BY av) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM a),
+mad AS (
+  SELECT event_type,
+    max(CASE WHEN rn = (50 * n + 99) // 100 THEN av END) AS mad
+  FROM r2 GROUP BY 1)
+SELECT e.event_type, count(*) AS n_events,
+  CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_OUT_K} * d.mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_OUT_K} * d.mad
+           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS out_share
+FROM events e JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY 1"""})

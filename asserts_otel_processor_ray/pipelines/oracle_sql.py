@@ -430,6 +430,12 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
       FROM witems) WHERE rn <= {config.per_request_topk})
   SELECT flush_window, conv_id, entity, request, qtype, sample_type,
     latency FROM wwinners"""),
+        # conversation-length distribution over the RAW transcripts
+        "t_conv_sizes": f"""
+WITH c AS (
+  SELECT conv_id, count(*) AS n FROM {src} GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS conv_turns, count(*) AS n_convs
+FROM c GROUP BY 1""",
         # within-conversation tool bigrams over the RAW transcript
         # table (no prelude needed — pure lead() window)
         "t_tool_transitions": f"""

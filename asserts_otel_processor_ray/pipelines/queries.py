@@ -399,6 +399,47 @@ def q_tool_transitions(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_conv_sizes(sf_dir: str) -> pa.Table:
+    """Conversation-length distribution over the raw transcript table
+    (turns per conversation → how many conversations have that
+    length) — the fan-out/skew profile of the pipeline's own
+    partitioning key.  Shape: per-batch (conv_id, n) pre-reduce (near
+    final on conversation-clustered input) → ONE distributed
+    groupby(conv_id).sum → per-batch count-of-counts partials →
+    bounded driver merge (≤ |distinct lengths| × blocks rows)."""
+    from ray.data.aggregate import Sum
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    path = ensure_transcripts(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["conv_id"]).aggregate([([], "count_all")])
+        return gb.rename_columns(["conv_id", "partial_n"])
+
+    agg = ds.map_batches(_pre, batch_format="pyarrow") \
+        .groupby("conv_id").aggregate(Sum("partial_n"))
+
+    def _size_counts(t: pa.Table) -> pa.Table:
+        if t.num_columns != 2 or t.num_rows == 0:
+            return pa.table({"conv_turns": pa.array([], pa.int64()),
+                             "n_convs": pa.array([], pa.int64())})
+        n = t.column(1).to_numpy().astype(np.int64)
+        sizes, counts = np.unique(n, return_counts=True)
+        return pa.table({
+            "conv_turns": pa.array(sizes, pa.int64()),
+            "n_convs": pa.array(counts.astype(np.int64), pa.int64())})
+
+    df = collect_df(agg.map_batches(_size_counts,
+                                    batch_format="pyarrow"))
+    if df.empty:
+        return pa.table({"conv_turns": pa.array([], pa.int64()),
+                         "n_convs": pa.array([], pa.int64())})
+    out = df.groupby("conv_turns", sort=True, as_index=False) \
+        ["n_convs"].sum()
+    out["n_convs"] = out["n_convs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 CORE_QUERIES = {
     "t_parse": q_parse,
     "t_enrich": q_enrich,
@@ -419,6 +460,7 @@ CORE_QUERIES = {
     "t_windowed_winners": q_windowed_winners,
     "t_latency_quantiles": q_latency_quantiles,
     "t_tool_transitions": q_tool_transitions,
+    "t_conv_sizes": q_conv_sizes,
 }
 
 if jaeger_fixture_paths():

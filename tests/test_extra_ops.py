@@ -371,7 +371,7 @@ CHECKED = ["d_exact_dedup", "d_token_stats", "d_quality", "d_langid",
            "d_vocab_growth", "e_label_text_stats", "s_hive_roundtrip",
            "d_field_completeness", "e_knn_confusion", "g_top3_events",
            "h_top_supplier", "g_cohort_matrix", "d_dup_sources",
-           "e_knn_purity", "g_key_skew", "g_ooo_ratio", "d_model_filter", "h_q12_priority", "g_mad"]
+           "e_knn_purity", "g_key_skew", "g_ooo_ratio", "d_model_filter", "h_q12_priority", "g_mad", "g_mad_outliers"]
 
 
 @pytest.mark.parametrize("name", CHECKED)
@@ -2325,3 +2325,21 @@ def test_mad_median_semantics(ray_session):
     row = out[out.event_type == et].iloc[0]
     assert row["med"] == med and row["mad"] == mad
     assert int(row["n_events"]) == n
+
+
+def test_mad_outliers_consistent_with_mad(ray_session):
+    """Outlier shares are in [0, 1); a zero-MAD type would flag every
+    off-median value, so reconcile counts against a brute recompute."""
+    import pyarrow.parquet as pq
+    from asserts_otel_processor_ray.pipelines.extra_queries import (
+        MAD_OUT_K, q_mad, q_mad_outliers)
+    out = q_mad_outliers(SF).to_pandas()
+    stats = q_mad(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    m = stats.set_index("event_type")
+    for _, r in out.iterrows():
+        v = ev.loc[ev.event_type == r["event_type"], "value"].to_numpy()
+        med, mad = m.loc[r["event_type"], ["med", "mad"]]
+        want = int((np.abs(v - med) > MAD_OUT_K * mad).sum())
+        assert int(r["n_outliers"]) == want

@@ -55,7 +55,7 @@ NAMES = [
     "t_routed_error", "t_routed_slow", "t_routed_normal",
     "t_agg_trace_count", "t_agg_span_count", "t_agg_sampled_count",
     "t_agg_span_sampled", "t_agg_latency_hist", "t_windowed_winners",
-    "t_latency_quantiles", "t_tool_transitions",
+    "t_latency_quantiles", "t_tool_transitions", "t_conv_sizes",
 ]
 
 
@@ -148,3 +148,13 @@ def test_tool_pairs_block_pre_reduce():
     assert out.to_dict("records") == [
         {"tool": "x", "next_tool": "x", "n_pairs": 2},
         {"tool": "y", "next_tool": "x", "n_pairs": 1}]
+
+
+def test_conv_sizes_mass(ray_session, oracle, queries):
+    """Σ(conv_turns × n_convs) must equal the total turn count."""
+    out = queries["t_conv_sizes"](SF_DIR).to_pandas()
+    path = ensure_transcripts(SF_DIR)
+    raw = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}/*.parquet')"
+    ).fetchone()[0]
+    assert int((out["conv_turns"] * out["n_convs"]).sum()) == int(raw)
