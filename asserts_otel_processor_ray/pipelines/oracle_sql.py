@@ -430,6 +430,25 @@ def build_oracle_queries(config: PipelineConfig, src: str) -> dict[str, str]:
       FROM witems) WHERE rn <= {config.per_request_topk})
   SELECT flush_window, conv_id, entity, request, qtype, sample_type,
     latency FROM wwinners"""),
+        # error-turn taxonomy per (namespace, service, error type)
+        "t_error_taxonomy": p(""",
+  et AS (
+    SELECT namespace, service,
+      COALESCE(asserts_error_type, '') AS asserts_error_type,
+      CASE WHEN is_error_turn THEN 1 ELSE 0 END AS e
+    FROM decided),
+  esvc AS (
+    SELECT namespace, service, count(*) AS svc_turns
+    FROM et GROUP BY 1, 2),
+  tax AS (
+    SELECT namespace, service, asserts_error_type,
+      CAST(sum(e) AS BIGINT) AS n_errors
+    FROM et GROUP BY 1, 2, 3 HAVING sum(e) > 0)
+  SELECT t.namespace, t.service, t.asserts_error_type, t.n_errors,
+    CAST(s.svc_turns AS BIGINT) AS svc_turns,
+    CAST(t.n_errors AS DOUBLE) / CAST(s.svc_turns AS DOUBLE)
+      AS error_share
+  FROM tax t JOIN esvc s USING (namespace, service)"""),
         # conversation-length distribution over the RAW transcripts
         "t_conv_sizes": f"""
 WITH c AS (

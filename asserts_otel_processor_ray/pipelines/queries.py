@@ -440,6 +440,73 @@ def q_conv_sizes(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_error_taxonomy(sf_dir: str) -> pa.Table:
+    """Error-turn breakdown per (namespace, service, error type) with
+    the service's error share — the table the reference's error
+    assertion (assertsprocessor error predicate + error-type attr
+    extraction) would feed an alerting rule.  Shape: per-batch integer
+    partials over the decided stream (error counts per taxonomy key +
+    turn totals per service) → two tiny distributed groupby-sums →
+    one driver join of bounded aggregates; the only float is the final
+    share division."""
+    from ray.data.aggregate import Sum
+    from asserts_otel_processor_ray.stages.topk import collect_df
+    art = artifacts(sf_dir)
+
+    def _part(t: pa.Table) -> pa.Table:
+        err = t.column("is_error_turn").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "namespace": t.column("namespace").to_numpy(
+                zero_copy_only=False),
+            "service": t.column("service").to_numpy(
+                zero_copy_only=False),
+            "asserts_error_type": pd.Series(
+                t.column("asserts_error_type").to_numpy(
+                    zero_copy_only=False)).fillna(""),
+            "is_err": err.astype(np.int64),
+        })
+        g = df.groupby(["namespace", "service", "asserts_error_type"],
+                       sort=False).agg(
+            n_errors=("is_err", "sum"),
+            n_turns=("is_err", "size")).reset_index()
+        g["n_errors"] = g["n_errors"].astype(np.int64)
+        g["n_turns"] = g["n_turns"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = art["decided"].map_batches(_part, batch_format="pyarrow") \
+        .materialize()   # two bounded aggregates read it, one map pass
+    agg = part.groupby(["namespace", "service",
+                        "asserts_error_type"]).aggregate(
+        Sum("n_errors"), Sum("n_turns"))
+    df = collect_df(agg)
+    if df.empty:
+        return pa.table({
+            "namespace": pa.array([], pa.string()),
+            "service": pa.array([], pa.string()),
+            "asserts_error_type": pa.array([], pa.string()),
+            "n_errors": pa.array([], pa.int64()),
+            "svc_turns": pa.array([], pa.int64()),
+            "error_share": pa.array([], pa.float64())})
+    df.columns = ["namespace", "service", "asserts_error_type",
+                  "n_errors", "n_turns"]
+    df = df[df["n_errors"] > 0].copy()
+    # svc_turns counts ALL turns of the service (not only error rows):
+    # a second bounded aggregate over the same partials
+    full = collect_df(part.groupby(["namespace", "service"]).aggregate(
+        Sum("n_turns")))
+    full.columns = ["namespace", "service", "svc_turns"]
+    out = df.merge(full, on=["namespace", "service"], how="left")
+    out["error_share"] = (out["n_errors"].to_numpy(np.int64)
+                          / out["svc_turns"].to_numpy(np.int64)
+                          .astype(np.float64))
+    out = out.drop(columns=["n_turns"]).sort_values(
+        ["namespace", "service", "asserts_error_type"],
+        ignore_index=True)
+    for c in ("n_errors", "svc_turns"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 CORE_QUERIES = {
     "t_parse": q_parse,
     "t_enrich": q_enrich,
@@ -461,6 +528,7 @@ CORE_QUERIES = {
     "t_latency_quantiles": q_latency_quantiles,
     "t_tool_transitions": q_tool_transitions,
     "t_conv_sizes": q_conv_sizes,
+    "t_error_taxonomy": q_error_taxonomy,
 }
 
 if jaeger_fixture_paths():

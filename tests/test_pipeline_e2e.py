@@ -56,6 +56,7 @@ NAMES = [
     "t_agg_trace_count", "t_agg_span_count", "t_agg_sampled_count",
     "t_agg_span_sampled", "t_agg_latency_hist", "t_windowed_winners",
     "t_latency_quantiles", "t_tool_transitions", "t_conv_sizes",
+    "t_error_taxonomy",
 ]
 
 
